@@ -1,0 +1,159 @@
+"""Snapshot (checkpoint) load/save.
+
+Reference parity: `NerfRender::load_snapshot` (src/nerf_render.cu:431-473)
+reads a msgpack config whose `snapshot` map holds `aabb` (6 floats),
+`bound`, `scale`, `cascade`, `density_grid_size`, `mean_density`,
+`density_grid` (cascade*H^3 floats), and `params` (flat float array in the
+order density MLP | rgb MLP | pos encoding | dir encoding,
+nerf_network.h:273-291). The reference is load-only; we also implement the
+missing save path so snapshots round-trip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nerf_tpu.core.config import load_network_config
+from nerf_tpu.core.types import RenderSettings
+
+
+@dataclasses.dataclass
+class Snapshot:
+    """Host-side snapshot contents (numpy; device placement is the
+    engine's job)."""
+
+    config: Dict
+    params: np.ndarray          # flat fp32 [n_params]
+    density_grid: np.ndarray    # fp32 [cascade * H^3]
+    settings: RenderSettings
+
+
+def load_snapshot(path_or_config) -> Snapshot:
+    """Load a .msgpack snapshot file (or an already-parsed config dict)."""
+    if isinstance(path_or_config, dict):
+        config = path_or_config
+    else:
+        config = load_network_config(str(path_or_config))
+    if "snapshot" not in config:
+        raise ValueError("File does not contain a snapshot.")
+    snap = config["snapshot"]
+
+    defaults = RenderSettings()
+    bound = float(snap.get("bound", defaults.bound))
+    settings = RenderSettings(
+        bound=bound,
+        scale=float(snap.get("scale", defaults.scale)),
+        cascade=int(snap.get("cascade", defaults.cascade)),
+        grid_h=int(snap.get("density_grid_size", defaults.grid_h)),
+        mean_density=float(snap.get("mean_density", defaults.mean_density)),
+        aabb=tuple(float(v) for v in snap["aabb"]),
+    )
+
+    density_grid = np.asarray(snap["density_grid"], np.float32)
+    expected = settings.grid_h ** 3 * settings.cascade
+    if density_grid.size != expected:
+        raise ValueError("Incompatible number of grid cascades.")
+
+    params = np.asarray(snap["params"], np.float32)
+    return Snapshot(config=config, params=params, density_grid=density_grid,
+                    settings=settings)
+
+
+def save_snapshot(path: str, config: Dict, params: np.ndarray,
+                  density_grid: np.ndarray, settings: RenderSettings) -> None:
+    """Write a reference-layout msgpack snapshot (capability the reference
+    lacks; layout matches its reader, src/nerf_render.cu:438-453)."""
+    import msgpack
+
+    out = {k: v for k, v in config.items() if k != "snapshot"}
+    out["snapshot"] = {
+        "aabb": [float(v) for v in settings.aabb],
+        "bound": float(settings.bound),
+        "scale": float(settings.scale),
+        "cascade": int(settings.cascade),
+        "density_grid_size": int(settings.grid_h),
+        "mean_density": float(settings.mean_density),
+        "density_grid": np.asarray(density_grid, np.float32).ravel().tolist(),
+        "params": np.asarray(params, np.float32).ravel().tolist(),
+    }
+    with open(path, "wb") as f:
+        msgpack.pack(out, f)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic snapshots for tests/benchmarks (no reference analog; the
+# reference ships no checkpoints).
+# ---------------------------------------------------------------------------
+
+DEFAULT_NETWORK_CONFIG: Dict = {
+    # Mirrors configs/nerf/base.json:23-58 (the keys consumed at inference).
+    "encoding": {
+        "otype": "HashGrid",
+        "n_levels": 16,
+        "n_features_per_level": 2,
+        "log2_hashmap_size": 19,
+        "base_resolution": 16,
+    },
+    "network": {
+        "otype": "FullyFusedMLP",
+        "activation": "ReLU",
+        "output_activation": "None",
+        "n_neurons": 64,
+        "n_hidden_layers": 1,
+    },
+    "dir_encoding": {
+        "otype": "Composite",
+        "nested": [
+            {"n_dims_to_encode": 3, "otype": "SphericalHarmonics",
+             "degree": 4},
+            {"otype": "Identity", "n_bins": 4, "degree": 4},
+        ],
+    },
+    "rgb_network": {
+        "otype": "FullyFusedMLP",
+        "activation": "ReLU",
+        "output_activation": "None",
+        "n_neurons": 64,
+        "n_hidden_layers": 2,
+    },
+}
+
+
+def make_synthetic_snapshot(seed: int = 0, grid_h: int = 128,
+                            cascade: int = 1, bound: float = 1.0,
+                            network_config: Optional[Dict] = None,
+                            occupancy: str = "sphere") -> Snapshot:
+    """Random-weight snapshot with a procedural occupancy grid.
+
+    occupancy "sphere": occupied shell |r| < 0.5*bound (in grid space);
+    "full": everything occupied; "empty": nothing.
+    """
+    from nerf_tpu.models.nerf import build_nerf_network
+
+    config = dict(network_config or DEFAULT_NETWORK_CONFIG)
+    net = build_nerf_network(config, bound=bound)
+
+    rng = np.random.default_rng(seed)
+    params = (rng.standard_normal(net.n_params, dtype=np.float32)
+              * np.float32(0.1))
+
+    h = grid_h
+    coords = (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
+    r = np.sqrt(gx * gx + gy * gy + gz * gz)
+    if occupancy == "sphere":
+        grid = np.where(r < 0.5, np.float32(1.0), np.float32(0.0))
+    elif occupancy == "full":
+        grid = np.ones((h, h, h), np.float32)
+    else:
+        grid = np.zeros((h, h, h), np.float32)
+    grid = np.tile(grid.reshape(-1), cascade)
+
+    settings = RenderSettings(
+        bound=bound, cascade=cascade, grid_h=grid_h, mean_density=0.1,
+        aabb=(-bound, -bound, -bound, bound, bound, bound),
+    )
+    return Snapshot(config=config, params=params, density_grid=grid,
+                    settings=settings)

@@ -1,0 +1,85 @@
+"""Core value types.
+
+Reference parity: `Camera`/`Image` structs in
+/root/reference/include/nerf-cuda/common.h:68-89, plus the scene constants
+held as `NerfRender` privates (nerf_render.h:53-78). Rebuilt as frozen
+dataclasses; `RenderSettings` is hashable so it can be a `jit` static arg.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole intrinsics (ref common.h:68-74)."""
+
+    fl_x: float
+    fl_y: float
+    cx: float
+    cy: float
+
+
+@dataclasses.dataclass
+class Image:
+    """Rendered frame: uint8 RGB [H, W, 3] + uint8 depth [H, W] (ref common.h:76-89)."""
+
+    w: int
+    h: int
+    rgb: np.ndarray
+    depth: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static scene/render constants.
+
+    Defaults mirror the reference `NerfRender` member defaults
+    (nerf_render.h:53-78): bound=1, scale=0.33, cascade=1, grid H=128,
+    mean_density=1e-4, dt_gamma=1/128, bg_color=1, min_near=0.2,
+    max march steps 1024.
+
+    TPU-specific knobs (no reference analog; replace the dynamic
+    ray-compaction loop of nerf_render.cu:269-338 with static shapes):
+      samples_per_round: max samples emitted per ray per round (ref
+        num_step is dynamic in [1,8]; we fix it at trace time).
+      probes_per_round: occupancy probes per ray per round; bounds the
+        march outer loop (ref loops until n_step emissions).
+      skip_iters: bounded re-run of the reference's voxel-skip do-while
+        (render_utils.h:648-651).
+    """
+
+    bound: float = 1.0
+    scale: float = 0.33
+    cascade: int = 1
+    grid_h: int = 128
+    mean_density: float = 1e-4
+    dt_gamma: float = 1.0 / 128.0
+    bg_color: float = 1.0
+    min_near: float = 0.2
+    density_scale: float = 1.0
+    max_infer_steps: int = 1024
+    perturb: int = 0
+    # TPU marcher shape knobs
+    samples_per_round: int = 8
+    probes_per_round: int = 16
+    skip_iters: int = 12
+    aabb: Tuple[float, float, float, float, float, float] = (
+        -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
+    )
+
+    @property
+    def max_rounds(self) -> int:
+        return -(-self.max_infer_steps // self.samples_per_round)
+
+
+# Constants mirroring render_utils.h:178-190.
+DENSITY_THRESH = 0.01
+SQRT3 = 1.7320508075688772
+MAX_STEPS = 1024
+MIN_STEPSIZE = 2.0 * SQRT3 / MAX_STEPS
+MIN_NEAR = 0.05
+DT_GAMMA = 1.0 / 128.0

@@ -1,0 +1,18 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding is
+exercised without TPU hardware (SURVEY.md section 4).
+
+Note: the environment's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon, so env vars alone are too late — we must also
+update jax.config before any backend is instantiated.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

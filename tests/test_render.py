@@ -1,0 +1,202 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_tpu.core.snapshot import make_synthetic_snapshot
+from nerf_tpu.core.types import Camera, RenderSettings
+from nerf_tpu.models.nerf import build_nerf_network
+from nerf_tpu.render.engine import NerfRender
+from nerf_tpu.render.march import render_rays
+from nerf_tpu.render.rays import (
+    generate_rays,
+    near_far_from_aabb,
+    nerf_matrix_to_ngp,
+)
+from tests.reference_sim import render_rays_reference
+
+SMALL_CFG = {
+    "encoding": {"otype": "HashGrid", "n_levels": 8,
+                 "n_features_per_level": 2, "log2_hashmap_size": 15,
+                 "base_resolution": 16},
+    "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                "output_activation": "None", "n_neurons": 64,
+                "n_hidden_layers": 1},
+    "dir_encoding": {"otype": "SphericalHarmonics", "degree": 4},
+    "rgb_network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+}
+
+CAM = Camera(fl_x=30.0, fl_y=30.0, cx=12.0, cy=12.0)
+
+# Identity-rotation nerf pose at z=+6: after nerf_matrix_to_ngp the camera
+# sits at ngp (0, 1.98, 0) looking along -y, through the origin sphere.
+NERF_POSE = np.array([
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0],
+    [0.0, 0.0, 1.0, 6.0],
+    [0.0, 0.0, 0.0, 1.0],
+], np.float32)
+
+
+def test_nerf_matrix_to_ngp():
+    """Exact permutation/negation per render_utils.h:68-77."""
+    p = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = nerf_matrix_to_ngp(p, scale=0.5, offset=(1.0, 2.0, 3.0))
+    expected = np.array([
+        [4, -5, -6, 7 * 0.5 + 1],
+        [8, -9, -10, 11 * 0.5 + 2],
+        [0, -1, -2, 3 * 0.5 + 3],
+        [0, 0, 0, 1],
+    ], np.float32)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_generate_rays_matches_pinhole():
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.0, 0.0, -2.0], np.float32)
+    rays_o, rays_d = generate_rays(CAM, rot, origin, 24, 24)
+    rays_o, rays_d = np.asarray(rays_o), np.asarray(rays_d)
+    assert rays_o.shape == (576, 3)
+    np.testing.assert_allclose(rays_o, origin[None, :].repeat(576, 0))
+    np.testing.assert_allclose(np.linalg.norm(rays_d, axis=-1), 1.0,
+                               rtol=1e-6)
+    # center pixel of a 24x24 image with cx=cy=12: pixel (11,11) center
+    # (11.5,11.5) -> dir ((11.5-12)/30, ., 1)/norm
+    pid = 11 * 24 + 11
+    ref = np.array([-0.5 / 30, -0.5 / 30, 1.0])
+    ref /= np.linalg.norm(ref)
+    np.testing.assert_allclose(rays_d[pid], ref, rtol=1e-5)
+
+
+def test_near_far_slab():
+    aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+    o = jnp.asarray([[0, 0, -3], [0, 0, -3], [5, 5, -3]], jnp.float32)
+    d = jnp.asarray([[0, 0, 1], [0.0, 1.0, 1.0], [0, 0, 1]], jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near, far = near_far_from_aabb(o, d, aabb, min_near=0.2)
+    near, far = np.asarray(near), np.asarray(far)
+    np.testing.assert_allclose(near[0], 2.0, rtol=1e-6)
+    np.testing.assert_allclose(far[0], 4.0, rtol=1e-6)
+    fmax = np.finfo(np.float32).max
+    assert near[2] == fmax and far[2] == fmax  # miss
+    # diagonal ray misses the box too (crosses y=1 before z=-1)
+    assert near[1] == fmax
+
+
+def _setup(grid_h=32, density_scale=8.0):
+    snap = make_synthetic_snapshot(seed=3, grid_h=grid_h,
+                                   network_config=SMALL_CFG)
+    settings = RenderSettings(
+        bound=snap.settings.bound, cascade=snap.settings.cascade,
+        grid_h=snap.settings.grid_h, mean_density=snap.settings.mean_density,
+        aabb=snap.settings.aabb, density_scale=density_scale,
+    )
+    net = build_nerf_network(snap.config, bound=settings.bound)
+    params = net.unpack_params(jnp.asarray(snap.params))
+    grid = jnp.asarray(snap.density_grid)
+    return net, params, grid, settings
+
+
+def test_march_matches_reference_simulator():
+    """The static-shape TPU marcher must reproduce the step-exact NumPy
+    port of kernel_march_rays + kernel_composite_rays on a batch of rays
+    that hit, graze, and miss the occupied sphere."""
+    net, params, grid, settings = _setup()
+
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.0, 0.0, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_fn(p, pos01, dir01):
+        return net.apply(p, pos01, dir01)
+
+    res = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+
+    ref_rgb, ref_depth, ref_wsum = render_rays_reference(
+        apply_fn, params, np.asarray(grid), np.asarray(rays_o),
+        np.asarray(rays_d), np.asarray(nears), np.asarray(fars), settings)
+
+    np.testing.assert_allclose(np.asarray(res.weight_sum), ref_wsum,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.rgb), ref_rgb,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.depth), ref_depth,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_round_partition_invariance():
+    """Results must not depend on the TPU-only S/P knobs."""
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.3, -0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_fn(p, pos01, dir01):
+        return net.apply(p, pos01, dir01)
+
+    import dataclasses
+
+    a = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+                    dataclasses.replace(settings, samples_per_round=4,
+                                        probes_per_round=8))
+    b = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+                    dataclasses.replace(settings, samples_per_round=16,
+                                        probes_per_round=32))
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.weight_sum),
+                               np.asarray(b.weight_sum), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_engine_end_to_end():
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    eng = NerfRender(settings=RenderSettings(density_scale=8.0))
+    eng.load_from_snapshot(snap)
+    eng.set_resolution((24, 24))
+    img = eng.render_frame(CAM, NERF_POSE)
+    assert img.rgb.shape == (24, 24, 3) and img.rgb.dtype == np.uint8
+    assert img.depth.shape == (24, 24)
+    rgbf, depthf, wsum = eng.render_frame_arrays(CAM, NERF_POSE)
+    wsum = np.asarray(wsum).reshape(24, 24)
+    # center rays pass through the occupied sphere, corners miss the aabb
+    assert wsum[12, 12] > 0.05
+    assert wsum[0, 0] == 0.0
+    d = np.asarray(depthf)
+    assert np.all((d >= 0) & (d <= 1))
+
+
+def test_engine_sharded_matches_single():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device CPU mesh")
+    from nerf_tpu.parallel.mesh import make_mesh
+
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    eng1 = NerfRender(settings=RenderSettings(density_scale=8.0))
+    eng1.load_from_snapshot(snap)
+    eng1.set_resolution((16, 16))
+    rgb1, depth1, w1 = eng1.render_frame_arrays(CAM, NERF_POSE)
+
+    mesh = make_mesh(4)
+    eng4 = NerfRender(settings=RenderSettings(density_scale=8.0), mesh=mesh)
+    eng4.load_from_snapshot(snap)
+    eng4.set_resolution((16, 16))
+    rgb4, depth4, w4 = eng4.render_frame_arrays(CAM, NERF_POSE)
+
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb4),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w4), rtol=1e-4,
+                               atol=1e-4)
