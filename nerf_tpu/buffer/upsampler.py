@@ -1,0 +1,143 @@
+"""2x upsampler — the DLSS replacement.
+
+Reference parity: the `IDlss` interface surface (include/nerf-cuda/
+dlss.h:25-48): run(in_resolution, ...), clamp_resolution(), out_resolution(),
+quality; quality presets and resolution clamping mirror
+`DlssFeatureSpecs`/`dlss_feature_specs` (src/dlss.cu:744-782) and the
+auto-quality selection of the `Dlss` ctor (src/dlss.cu:896-1026).
+
+NGX DLSS itself is a proprietary black box driven through Vulkan-CUDA
+interop (src/dlss.cu:116-742); the TPU-native contract is the interface
+and resolution math plus image quality >= bilinear:
+  - BilinearUpsampler: pure XLA resize
+  - LearnedUpsampler: bilinear + residual 3-layer conv net (trainable;
+    weights are an ordinary pytree; MXU-friendly NHWC convs)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# DLSS quality -> optimal input scale (dlss.cu:744-782 probes NGX for
+# these; values follow the published DLSS presets the reference links).
+QUALITY_SCALE = {
+    "UltraPerformance": 3.0,
+    "MaxPerformance": 2.0,
+    "Balanced": 1.72,
+    "MaxQuality": 1.5,
+    "UltraQuality": 1.3,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class UpsamplerSpecs:
+    """DlssFeatureSpecs analog (src/dlss.cu:744-760)."""
+
+    quality: str
+    out_resolution: Tuple[int, int]
+
+    @property
+    def optimal_in_resolution(self) -> Tuple[int, int]:
+        s = QUALITY_SCALE[self.quality]
+        return (max(1, int(self.out_resolution[0] / s)),
+                max(1, int(self.out_resolution[1] / s)))
+
+    @property
+    def min_in_resolution(self) -> Tuple[int, int]:
+        s = QUALITY_SCALE["UltraPerformance"]
+        return (max(1, int(self.out_resolution[0] / s)),
+                max(1, int(self.out_resolution[1] / s)))
+
+    @property
+    def max_in_resolution(self) -> Tuple[int, int]:
+        return self.out_resolution
+
+
+class BilinearUpsampler:
+    """IDlss-shaped upsampler (dlss.h:25-48)."""
+
+    def __init__(self, out_resolution: Tuple[int, int],
+                 quality: str = "MaxPerformance"):
+        self._specs = UpsamplerSpecs(quality, (int(out_resolution[0]),
+                                               int(out_resolution[1])))
+
+    def out_resolution(self) -> Tuple[int, int]:
+        return self._specs.out_resolution
+
+    def quality(self) -> str:
+        return self._specs.quality
+
+    def is_hdr(self) -> bool:
+        return True
+
+    def clamp_resolution(self, resolution) -> Tuple[int, int]:
+        """Dlss::clamp_resolution (src/dlss.cu:969-988)."""
+        lo, hi = self._specs.min_in_resolution, self._specs.max_in_resolution
+        return (min(max(int(resolution[0]), lo[0]), hi[0]),
+                min(max(int(resolution[1]), lo[1]), hi[1]))
+
+    def run(self, frame, depth=None, mvec=None, exposure: float = 1.0,
+            sharpening: float = 0.0, jitter_offset=(0.0, 0.0),
+            shall_reset: bool = False):
+        """frame: [h, w, C] -> [H, W, C] at out_resolution."""
+        w, h = self._specs.out_resolution
+        out = jax.image.resize(frame, (h, w) + frame.shape[2:], "bilinear")
+        if sharpening > 0.0:
+            blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0)
+                    + jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
+            out = out + sharpening * (out - blur)
+        return out
+
+
+class LearnedUpsampler(BilinearUpsampler):
+    """Bilinear + learned residual CNN (3 NHWC convs, MXU-friendly)."""
+
+    CHANNELS = (16, 16)
+
+    def __init__(self, out_resolution, quality: str = "MaxPerformance",
+                 params: Optional[Dict] = None):
+        super().__init__(out_resolution, quality)
+        self.params = params
+
+    def init_params(self, key=None, in_channels: int = 3) -> Dict:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sizes = [(3, 3, in_channels, self.CHANNELS[0]),
+                 (3, 3, self.CHANNELS[0], self.CHANNELS[1]),
+                 (3, 3, self.CHANNELS[1], in_channels)]
+        keys = jax.random.split(key, len(sizes))
+        params = {}
+        for i, (shape, k) in enumerate(zip(sizes, keys)):
+            fan_in = shape[0] * shape[1] * shape[2]
+            params[f"w{i}"] = jax.random.normal(k, shape) \
+                * jnp.sqrt(2.0 / fan_in)
+        return params
+
+    def run(self, frame, depth=None, mvec=None, exposure: float = 1.0,
+            sharpening: float = 0.0, jitter_offset=(0.0, 0.0),
+            shall_reset: bool = False):
+        base = super().run(frame, depth, mvec, exposure, 0.0, jitter_offset,
+                           shall_reset)
+        if self.params is None:
+            return base
+        x = base[None]  # NHWC
+        h = x
+        n_layers = len(self.params)
+        for i in range(n_layers):
+            h = jax.lax.conv_general_dilated(
+                h, self.params[f"w{i}"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if i < n_layers - 1:
+                h = jax.nn.relu(h)
+        return (x + h)[0]
+
+
+def create_upsampler(out_resolution, quality: str = "MaxPerformance",
+                     learned: bool = False, params: Optional[Dict] = None):
+    """dlss_init analog (src/dlss.cu:1028-1030)."""
+    if learned:
+        return LearnedUpsampler(out_resolution, quality, params)
+    return BilinearUpsampler(out_resolution, quality)

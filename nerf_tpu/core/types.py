@@ -67,6 +67,9 @@ class RenderSettings:
     samples_per_round: int = 8
     probes_per_round: int = 16
     skip_iters: int = 12
+    # rays per lax.map chunk — bounds HBM (analog of the reference's
+    # per-GPU buffer sizing, nerf_render.cu:186-236)
+    ray_chunk: int = 65536
     aabb: Tuple[float, float, float, float, float, float] = (
         -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
     )

@@ -58,3 +58,20 @@ class Encoding:
                            dtype=y.dtype)
             y = jnp.concatenate([y, pad], axis=-1)
         return y
+
+    # -- channel-first (feature-major) path --------------------------------
+    # TPU-native layout: the batch axis is minor-most so [C, B] arrays tile
+    # onto (sublane, lane) without padding — the analog of tcnn's SoA "RM"
+    # matrices (matrix_layout.h:37-47). Hot encodings override _encode_cf;
+    # the default transposes through the channels-last implementation.
+    def _encode_cf(self, params, x_cf):
+        return self.encode(params, x_cf.T).T
+
+    def apply_cf(self, params, x_cf):
+        """x_cf: [n_dims, B] -> [padded_output_dim, B]."""
+        y = self._encode_cf(params, x_cf)
+        if self.n_to_pad:
+            pad = jnp.full((self.n_to_pad,) + y.shape[1:], self.pad_value,
+                           dtype=y.dtype)
+            y = jnp.concatenate([y, pad], axis=0)
+        return y

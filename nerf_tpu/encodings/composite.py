@@ -100,3 +100,10 @@ class CompositeEncoding(Encoding):
                                  self._split_params(params)):
             parts.append(enc.apply(p, x[..., begin:begin + enc.n_dims]))
         return jnp.concatenate(parts, axis=-1)
+
+    def _encode_cf(self, params, x_cf):
+        parts = []
+        for enc, begin, p in zip(self.nested, self.dim_begin,
+                                 self._split_params(params)):
+            parts.append(enc.apply_cf(p, x_cf[begin:begin + enc.n_dims]))
+        return jnp.concatenate(parts, axis=0)

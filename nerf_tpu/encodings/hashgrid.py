@@ -133,69 +133,85 @@ class GridEncoding(Encoding):
                                   -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
-    def _corner_rows(self, cell: jnp.ndarray, corner_bits: int) -> jnp.ndarray:
+    def _corner_rows_cf(self, cell: jnp.ndarray,
+                        corner_bits: int) -> jnp.ndarray:
         """Flat table row for one interpolation corner, all levels at once.
 
-        cell: uint32 [..., L, D]. Returns uint32 [..., L] global rows.
+        cell: uint32 [D, L, B]. Returns uint32 [L, B] global rows.
+        Channel-first so [L, B] tiles cleanly (batch on the lane dim).
         """
-        c = cell
-        add = jnp.asarray(
-            [(corner_bits >> d) & 1 for d in range(self.n_dims)], jnp.uint32)
-        c = c + add  # [..., L, D]
+        add = [(corner_bits >> d) & 1 for d in range(self.n_dims)]
 
         # dense index with static per-level dim participation
         res = jnp.asarray(self._resolutions)  # [L]
         strides = [jnp.ones_like(res)]
         for _ in range(self.n_dims - 1):
             strides.append(strides[-1] * res)
-        idx_dense = jnp.zeros(c.shape[:-1], jnp.uint32)
         inc = jnp.asarray(self._include_dim)  # [L, D] bool
+        idx_dense = jnp.zeros(cell.shape[1:], jnp.uint32)
+        idx_hash = jnp.zeros(cell.shape[1:], jnp.uint32)
         for d in range(self.n_dims):
-            idx_dense = idx_dense + jnp.where(inc[:, d], c[..., d] * strides[d], 0)
+            c = cell[d] + jnp.uint32(add[d])  # [L, B]
+            idx_dense = idx_dense + jnp.where(inc[:, d, None],
+                                              c * strides[d][:, None], 0)
+            # fast_hash (grid.h:82-98)
+            idx_hash = idx_hash ^ (c * jnp.uint32(_PRIMES[d]))
 
-        # fast_hash (grid.h:82-98)
-        idx_hash = jnp.zeros(c.shape[:-1], jnp.uint32)
-        for d in range(self.n_dims):
-            idx_hash = idx_hash ^ (c[..., d] * jnp.uint32(_PRIMES[d]))
+        idx = jnp.where(jnp.asarray(self._use_hash)[:, None], idx_hash,
+                        idx_dense)
+        idx = idx % jnp.asarray(self._level_sizes)[:, None]
+        return idx + jnp.asarray(self._offsets)[:, None]
 
-        idx = jnp.where(jnp.asarray(self._use_hash), idx_hash, idx_dense)
-        idx = idx % jnp.asarray(self._level_sizes)
-        return idx + jnp.asarray(self._offsets)
+    def _encode_cf(self, params, x_cf):
+        """Channel-first core: x_cf [D, B] in [0,1] -> [L*F, B].
 
-    def encode(self, params, x):
-        """x: [..., D] in [0, 1] -> [..., L*F]."""
-        table = params.reshape(self.total_entries, self.n_features_per_level)
-        xf = x.astype(jnp.float32)
+        One feature column gather per (corner, feature); every hot array is
+        [L, B] or [D, L, B] — batch minor-most, zero tile padding.
+        """
+        F = self.n_features_per_level
+        table = params.reshape(self.total_entries, F)
+        xf = x_cf.astype(jnp.float32)
 
         scales = jnp.asarray(self._scales)  # [L]
-        pos = xf[..., None, :] * scales[:, None] + 0.5  # [..., L, D]
+        pos = xf[:, None, :] * scales[None, :, None] + 0.5  # [D, L, B]
         cell_f = jnp.floor(pos)
         frac = pos - cell_f
         cell = cell_f.astype(jnp.uint32)
 
+        cols = [table[:, f] for f in range(F)]  # F x [total]
         interp = self.interpolation.lower()
         if interp == "nearest":
             # Nearest uses the floored cell directly (grid.h:218-233).
-            rows = self._corner_rows(cell, 0)
-            out = table[rows].astype(jnp.float32)  # [..., L, F]
+            rows = self._corner_rows_cf(cell, 0)
+            acc = [col[rows].astype(jnp.float32) for col in cols]
         else:
             if interp == "smoothstep":
                 frac = frac * frac * (3.0 - 2.0 * frac)
             acc = None
             for corner in range(1 << self.n_dims):
-                rows = self._corner_rows(cell, corner)  # [..., L]
-                vals = table[rows].astype(jnp.float32)  # [..., L, F]
-                if self.quantize_threshold > 0.0:
-                    vals = jnp.where(jnp.abs(vals) < self.quantize_threshold,
-                                     0.0, vals)
-                w = jnp.ones(frac.shape[:-1], jnp.float32)
+                rows = self._corner_rows_cf(cell, corner)  # [L, B]
+                w = jnp.ones(rows.shape, jnp.float32)
                 for d in range(self.n_dims):
-                    fd = frac[..., d]
-                    w = w * jnp.where((corner >> d) & 1, fd, 1.0 - fd)
-                contrib = w[..., None] * vals
-                acc = contrib if acc is None else acc + contrib
-            out = acc
+                    fd = frac[d]
+                    w = w * (fd if (corner >> d) & 1 else 1.0 - fd)
+                vals = []
+                for col in cols:
+                    v = col[rows].astype(jnp.float32)  # [L, B]
+                    if self.quantize_threshold > 0.0:
+                        v = jnp.where(jnp.abs(v) < self.quantize_threshold,
+                                      0.0, v)
+                    vals.append(w * v)
+                acc = vals if acc is None else [a + v
+                                                for a, v in zip(acc, vals)]
 
-        # level-major SoA order: out[..., l*F + f] (grid.h:252-256)
-        return out.reshape(out.shape[:-2] + (self.n_output_dims,)).astype(
-            params.dtype)
+        # level-major SoA order out[l*F + f] (grid.h:252-256):
+        # stack features -> [L, F, B] -> reshape [L*F, B].
+        out = jnp.stack(acc, axis=1)
+        return out.reshape(self.n_output_dims, -1).astype(params.dtype)
+
+    def encode(self, params, x):
+        """x: [..., D] in [0, 1] -> [..., L*F] (channels-last wrapper)."""
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, self.n_dims).T  # [D, B]
+        out = self._encode_cf(params, x2)  # [L*F, B]
+        return out.T.reshape(lead + (self.n_output_dims,))

@@ -141,3 +141,15 @@ class SphericalHarmonicsEncoding(Encoding):
             pad = jnp.ones(y.shape[:-1] + (self.n_to_pad,), dtype=y.dtype)
             y = jnp.concatenate([pad, y], axis=-1)
         return y
+
+    def _encode_cf(self, params, x_cf):
+        xf = x_cf.astype(jnp.float32) * 2.0 - 1.0
+        vals = sh_basis(xf[0], xf[1], xf[2], self.degree)
+        return jnp.stack(vals, axis=0).astype(x_cf.dtype)
+
+    def apply_cf(self, params, x_cf):
+        y = self._encode_cf(params, x_cf)
+        if self.n_to_pad:
+            pad = jnp.ones((self.n_to_pad,) + y.shape[1:], dtype=y.dtype)
+            y = jnp.concatenate([pad, y], axis=0)
+        return y

@@ -153,6 +153,29 @@ class NerfNetwork:
             d_out[..., 0].astype(jnp.float32))
         return rgb_out[..., :3].astype(jnp.float32), sigma
 
+    def apply_cf(self, params: Dict, pos01_cf, dir01_cf):
+        """Channel-first forward — the hot-path layout (batch minor-most).
+
+        pos01_cf, dir01_cf: [3, B] -> (rgb [3, B], sigma [B]).
+        Same math as apply(); arrays are feature-major throughout (tcnn's
+        SoA layout, matrix_layout.h:37-47), so nothing pads on TPU tiles.
+        """
+        h = self.pos_encoding.apply_cf(params["pos_encoding"], pos01_cf)
+        d_out = self.density_network.apply_cf(params["density_mlp"], h)
+        sh = self.dir_encoding.apply_cf(params["dir_encoding"], dir01_cf)
+        pad = (self.rgb_network_input_width
+               - d_out.shape[0] - sh.shape[0])
+        parts = [d_out.astype(self.compute_dtype),
+                 sh.astype(self.compute_dtype)]
+        if pad > 0:
+            parts.append(jnp.zeros((pad,) + d_out.shape[1:],
+                                   self.compute_dtype))
+        rgb_in = jnp.concatenate(parts, axis=0)
+        rgb_out = self.rgb_network.apply_cf(params["rgb_mlp"], rgb_in)
+        sigma = activation_fn(self.sigma_activation)(
+            d_out[0].astype(jnp.float32))
+        return rgb_out[:3].astype(jnp.float32), sigma
+
     def apply_packed(self, params: Dict, x):
         """Reference-shaped entry: x [..., 6] -> rgbd [..., 4] with
         rows 0..2 = rgb, row 3 = sigma (nerf_network.h:148-196)."""

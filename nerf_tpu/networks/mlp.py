@@ -121,6 +121,26 @@ class MLP:
                     preferred_element_type=jnp.float32)
         return out_act(h)
 
+    def apply_cf(self, params, x_cf):
+        """Channel-first: x_cf [input_width, B] -> [padded_out, B].
+
+        The TPU-native layout — activations are [C, B] (batch on the lane
+        dim, tcnn's CM-batch analog), weights [out, in] hit the MXU as
+        W @ X with fp32 accumulation.
+        """
+        mats = self.unflatten(params) if not isinstance(params, (list, tuple)) \
+            else list(params)
+        act = activation_fn(self.activation)
+        out_act = activation_fn(self.output_activation)
+        h = x_cf.astype(self.compute_dtype)
+        for w in mats[:-1]:
+            h = jnp.dot(w.astype(self.compute_dtype), h,
+                        preferred_element_type=jnp.float32)
+            h = act(h).astype(self.compute_dtype)
+        h = jnp.dot(mats[-1].astype(self.compute_dtype), h,
+                    preferred_element_type=jnp.float32)
+        return out_act(h)
+
 
 def create_network(config: Dict, compute_dtype=jnp.float32) -> MLP:
     """Config-driven network construction (src/network.cu:83-164).

@@ -61,8 +61,8 @@ def shard_render(render_core, mesh: Mesh, w: int, h: int,
             f"resolution {w}x{h} must divide the {n_dev}-device mesh")
     block = n_pixels // n_dev
 
-    def apply_fn(params, pos01, dir01):
-        return net.apply(params, pos01, dir01)
+    def apply_fn(params, pos01_cf, dir01_cf):
+        return net.apply_cf(params, pos01_cf, dir01_cf)
 
     def shard_fn(params, density_grid, cam_params, rotation, origin):
         idx = jax.lax.axis_index(RAY_AXIS)

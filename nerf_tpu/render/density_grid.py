@@ -1,0 +1,86 @@
+"""Occupancy / density-grid maintenance.
+
+Reference parity: `NerfRender::generate_density_grid`
+(src/nerf_render.cu:388-429) and its kernels `init_xyzs`, `dd_scale`,
+`add_random`, `dg_update` (render_utils.h:79-128):
+  - H^3 lattice of cell-center positions in [-1, 1] per axis
+  - per cascade c: scale to (bound_c - half_cell) with bound_c =
+    min(2^c, bound), jitter by +-half_cell
+  - density-network eval (the reference has this line commented out —
+    nerf_render.cu:415 — so its grid only ever comes from the snapshot;
+    here it is implemented for real, enabling online grid refresh and
+    training)
+  - EMA-style update: grid = max(grid * decay, new) where grid >= 0,
+    decay 0.95 (render_utils.h:120-128, nerf_render.cu:392)
+
+Deviations (documented): the reference updates only cascade 0 after the
+loop and resets the grid to 1/64 on every call; we update every cascade
+in place and make the reset opt-in.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.core.types import RenderSettings
+
+DENSITY_SCALE_CONST = 0.001691  # dd_scale k (nerf_render.cu:417)
+DECAY = 0.95                    # nerf_render.cu:392
+
+
+def lattice_positions(h: int) -> jnp.ndarray:
+    """init_xyzs (render_utils.h:90-106): [H^3, 3] in [-1, 1],
+    x-major (x = idx // H^2, z = idx % H)."""
+    ids = jnp.arange(h ** 3, dtype=jnp.int32)
+    x = ids // (h * h)
+    y = (ids % (h * h)) // h
+    z = ids % h
+    coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
+    return -1.0 + 2.0 / (h - 1) * coords
+
+
+@functools.partial(jax.jit, static_argnames=("net", "settings", "reset"))
+def generate_density_grid(net, params, density_grid, settings: RenderSettings,
+                          key: Optional[jax.Array] = None,
+                          decay: float = DECAY,
+                          scale_const: float = DENSITY_SCALE_CONST,
+                          reset: bool = False) -> jnp.ndarray:
+    """Refresh the [cascade * H^3] density grid from the network."""
+    s = settings
+    h = s.grid_h
+    if reset:
+        density_grid = jnp.full_like(density_grid, 1.0 / 64)  # :393
+
+    xyzs = lattice_positions(h)  # [H^3, 3]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    sections = []
+    for cas in range(s.cascade):
+        bound_c = min(float(1 << cas), s.bound)  # :409
+        half = bound_c / h                       # :410
+        pos = xyzs * (bound_c - half)            # dd_scale :412
+        k = jax.random.fold_in(key, cas)
+        pos = pos + half * (2.0 * jax.random.uniform(k, pos.shape) - 1.0)
+
+        # the step the reference left commented out (:415), now live:
+        pos01 = pos / (2.0 * s.bound) + 0.5
+        sigma = net.density(params, pos01)
+        new_density = sigma * jnp.float32(scale_const)  # dd_scale :417
+
+        old = density_grid[cas * h ** 3:(cas + 1) * h ** 3]
+        upd = jnp.where(old >= 0,
+                        jnp.maximum(old * jnp.float32(decay), new_density),
+                        old)  # dg_update (render_utils.h:120-128)
+        sections.append(upd)
+    return jnp.concatenate(sections)
+
+
+def mean_density(density_grid: jnp.ndarray) -> jnp.ndarray:
+    """Mean over non-negative cells (snapshot `mean_density` analog)."""
+    valid = density_grid >= 0
+    return jnp.sum(jnp.where(valid, density_grid, 0.0)) \
+        / jnp.maximum(jnp.sum(valid), 1)

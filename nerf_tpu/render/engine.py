@@ -64,6 +64,7 @@ class NerfRender:
             density_scale=s.density_scale, max_infer_steps=s.max_infer_steps,
             perturb=s.perturb, samples_per_round=s.samples_per_round,
             probes_per_round=s.probes_per_round, skip_iters=s.skip_iters,
+            ray_chunk=s.ray_chunk,
         )
         self.reset_network(snap.config)
         flat = jnp.asarray(snap.params, jnp.float32)
@@ -91,8 +92,8 @@ class NerfRender:
         net = self.network
         settings = self.settings
 
-        def apply_fn(params, pos01, dir01):
-            return net.apply(params, pos01, dir01)
+        def apply_fn(params, pos01_cf, dir01_cf):
+            return net.apply_cf(params, pos01_cf, dir01_cf)
 
         @functools.partial(jax.jit, static_argnames=())
         def render(params, density_grid, cam_params, rotation, origin):

@@ -10,24 +10,31 @@ TPU redesign (replaces the CUDA dynamic-compaction loop):
   (render_utils.h:394-415) and round-trips the alive counter to the host
   (nerf_render.cu:288-292). Neither survives XLA's static-shape model, and
   the host sync would serialize the device. Instead:
-    - one `lax.while_loop` over march ROUNDS, all rays resident, liveness
-      as a mask; loop exits when no ray is alive (on-device reduction, no
-      host sync)
+    - rays are processed in fixed-size CHUNKS via `lax.map` (memory is
+      bounded by one chunk regardless of frame size — the analog of the
+      reference's per-GPU buffer sizing, nerf_render.cu:186-236)
+    - one `lax.while_loop` over march ROUNDS per chunk, all rays resident,
+      liveness as a mask; exits when no ray is alive (on-device reduction)
     - per round each alive ray emits up to `samples_per_round` samples
-      using at most `probes_per_round` occupancy probes (VPU-vectorized
-      over all rays); the reference's data-dependent voxel-skip do-while
+      using at most `probes_per_round` occupancy probes (VPU-vectorized);
+      the reference's data-dependent voxel-skip do-while
       (render_utils.h:648-651) becomes a bounded masked inner loop
-    - the sample batch [N, S] feeds ONE network evaluation per round
-      (MXU matmul chain), exactly like the reference's
-      concat -> inference -> decompose (nerf_render.cu:315-329)
-    - compositing is a fixed-length scan over the S sample slots with the
+    - the sample batch feeds ONE network evaluation per round (MXU matmul
+      chain), like the reference's concat -> inference -> decompose
+      (nerf_render.cu:315-329)
+    - compositing is a fixed-length scan over the sample slots with the
       reference's alpha/T/early-termination math (render_utils.h:698-743)
 
-  Semantics deltas (documented, all strictly result-preserving):
-    - rays that exhaust their probe budget mid-round simply continue next
-      round instead of being mistaken for dead (the reference cannot hit
-      this case because its march loop is unbounded);
-    - voxel skips after the round's last emission are retained (the
+  Layout: every hot array is CHANNEL-FIRST with the ray/sample batch axis
+  minor-most ([3, S, N], [S, N], [N]) so fp32 (8,128) tiles never pad —
+  the TPU analog of tcnn's SoA matrices (matrix_layout.h:37-47). A
+  channels-last [N, S, 16] layout measured 8x tile-padding blowup (61 GB
+  for an 800x800 frame) before this design.
+
+  Semantics deltas (documented, all result-preserving — verified against
+  the step-exact NumPy port of the CUDA kernels in tests/reference_sim.py):
+    - rays that exhaust their probe budget mid-round continue next round;
+    - voxel skips after a round's last emission are retained (the
       reference re-marches them next round — pure wasted work).
 """
 from __future__ import annotations
@@ -49,22 +56,24 @@ class RenderResult(NamedTuple):
     rgb: jnp.ndarray         # [N, 3] bg-composited linear color
     depth: jnp.ndarray       # [N] normalized to [0,1] between near/far
     weight_sum: jnp.ndarray  # [N] accumulated alpha
-    n_rounds: jnp.ndarray    # [] number of march rounds executed
+    n_rounds: jnp.ndarray    # [] march rounds executed (max over chunks)
 
 
-def _mip_level(x, cascade: int):
-    """mip_from_pos (render_utils.h:148-155): frexp exponent of max |coord|."""
-    mx = jnp.max(jnp.abs(x), axis=-1)
+def _mip_level(x_cf, cascade: int):
+    """mip_from_pos (render_utils.h:148-155): frexp exponent of max |coord|.
+
+    x_cf: [3, N] -> level [N]."""
+    mx = jnp.max(jnp.abs(x_cf), axis=0)
     _, exp = jnp.frexp(mx)
     return jnp.clip(exp, 0, cascade - 1)
 
 
-def _march_round(t, last_t, alive, rays_o, rays_d, far, density_grid,
+def _march_round(t, alive, rays_o, rays_d, far, density_grid,
                  s: RenderSettings):
-    """One round of sample generation for all rays.
+    """One round of sample generation for all rays (channel-first).
 
-    Returns (t_new, smp_xyz [N,S,3], smp_dt [N,S], smp_rd [N,S],
-    emit [N] number of emitted samples).
+    rays_o/rays_d: [3, N]. Returns (t_new [N], smp_xyz [3, S, N],
+    smp_dt [S, N], smp_rd [S, N], emit [N]).
     Mirrors kernel_march_rays (render_utils.h:524-655) vectorized over rays.
     """
     n = t.shape[0]
@@ -80,9 +89,9 @@ def _march_round(t, last_t, alive, rays_o, rays_d, far, density_grid,
     sgn = jnp.copysign(jnp.float32(1.0), rays_d)  # signf (render_utils.h:145)
     slot_iota = jnp.arange(S, dtype=jnp.int32)
 
-    smp_xyz0 = jnp.zeros((n, S, 3), jnp.float32)
-    smp_dt0 = jnp.zeros((n, S), jnp.float32)
-    smp_rd0 = jnp.zeros((n, S), jnp.float32)
+    smp_xyz0 = jnp.zeros((3, S, n), jnp.float32)
+    smp_dt0 = jnp.zeros((S, n), jnp.float32)
+    smp_rd0 = jnp.zeros((S, n), jnp.float32)
     emit0 = jnp.zeros((n,), jnp.int32)
     done0 = ~alive
 
@@ -90,18 +99,19 @@ def _march_round(t, last_t, alive, rays_o, rays_d, far, density_grid,
         t, last_t, emit, done, sx, sdt, srd = carry
         active = ~done & (t < far)
 
-        x = jnp.clip(rays_o + t[:, None] * rays_d, -bound, bound)  # :595-597
+        x = jnp.clip(rays_o + t[None, :] * rays_d, -bound, bound)  # :595-597
         if s.cascade > 1:
             level = _mip_level(x, s.cascade)                       # :601
             mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)),
                                     bound)                         # :602
         else:
-            level = jnp.zeros((n,), jnp.int32)
             mip_bound = jnp.broadcast_to(bound, (n,))
-        nxyz = jnp.clip(0.5 * (x / mip_bound[:, None] + 1.0) * h,
+            level = None
+        nxyz = jnp.clip(0.5 * (x / mip_bound[None, :] + 1.0) * h,
                         0.0, float(h - 1)).astype(jnp.int32)       # :606-611
-        idx = (level * (h * h * h) + nxyz[:, 0] * (h * h)
-               + nxyz[:, 1] * h + nxyz[:, 2])                      # :613-614
+        idx = nxyz[0] * (h * h) + nxyz[1] * h + nxyz[2]            # :613-614
+        if level is not None:
+            idx = idx + level * (h * h * h)
         density = density_grid[idx]
         occ = density > density_thresh                             # :619
 
@@ -112,16 +122,16 @@ def _march_round(t, last_t, alive, rays_o, rays_d, far, density_grid,
 
         # --- emission (:621-637) -------------------------------------
         t_emit = t + dt
-        onehot = emit_now[:, None] & (slot_iota[None, :] == emit[:, None])
-        sx = jnp.where(onehot[..., None], x[:, None, :], sx)
-        sdt = jnp.where(onehot, dt[:, None], sdt)
-        srd = jnp.where(onehot, (t_emit - last_t)[:, None], srd)
+        onehot = emit_now[None, :] & (slot_iota[:, None] == emit[None, :])
+        sx = jnp.where(onehot[None, :, :], x[:, None, :], sx)
+        sdt = jnp.where(onehot, dt[None, :], sdt)
+        srd = jnp.where(onehot, (t_emit - last_t)[None, :], srd)
 
         # --- voxel skip (:641-651) ------------------------------------
         bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
-               / float(h - 1) * 2.0 - 1.0) * mip_bound[:, None]
+               / float(h - 1) * 2.0 - 1.0) * mip_bound[None, :]
         t_axes = (bnd - x) * rd_inv
-        tt = t + jnp.maximum(0.0, jnp.min(t_axes, axis=-1))
+        tt = t + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
         t_skip = t + dt  # do-while executes once unconditionally
 
         def skip_step(_, ts):
@@ -136,8 +146,8 @@ def _march_round(t, last_t, alive, rays_o, rays_d, far, density_grid,
         done = done | freeze
         return t_new, last_t, emit, done, sx, sdt, srd
 
-    t, last_t, emit, _, sx, sdt, srd = jax.lax.fori_loop(
-        0, P, probe, (t, last_t, emit0, done0, smp_xyz0, smp_dt0, smp_rd0))
+    t, _, emit, _, sx, sdt, srd = jax.lax.fori_loop(
+        0, P, probe, (t, t, emit0, done0, smp_xyz0, smp_dt0, smp_rd0))
     return t, sx, sdt, srd, emit
 
 
@@ -145,52 +155,45 @@ def _composite_round(smp_rgb, smp_sigma, smp_dt, smp_rd, emit, t_round_start,
                      weight_sum, depth, rgb_acc):
     """kernel_composite_rays (render_utils.h:658-751) as a scan over slots.
 
-    Returns updated (weight_sum, depth, rgb_acc, terminated [N]).
+    smp_rgb [3, S, N], smp_sigma/dt/rd [S, N]. Returns updated
+    (weight_sum [N], depth [N], rgb_acc [3, N], terminated [N]).
     """
-    n, S = smp_dt.shape
+    n = smp_dt.shape[1]
 
     def body(carry, slot):
         w_sum, d, racc, t_c, term = carry
         valid = (slot < emit) & ~term          # delta==0 break (:701)
-        alpha = 1.0 - jnp.exp(-smp_sigma[:, slot] * smp_dt[:, slot])  # :703
-        big_t = 1.0 - w_sum                                           # :712
-        w = alpha * big_t                                             # :713
+        alpha = 1.0 - jnp.exp(-smp_sigma[slot] * smp_dt[slot])  # :703
+        big_t = 1.0 - w_sum                                     # :712
+        w = alpha * big_t                                       # :713
         wv = jnp.where(valid, w, 0.0)
-        t_c = t_c + jnp.where(valid, smp_rd[:, slot], 0.0)            # :716
-        d = d + wv * t_c                                              # :717
-        racc = racc + wv[:, None] * smp_rgb[:, slot, :]               # :718-720
+        t_c = t_c + jnp.where(valid, smp_rd[slot], 0.0)         # :716
+        d = d + wv * t_c                                        # :717
+        racc = racc + wv[None, :] * smp_rgb[:, slot, :]         # :718-720
         w_sum = w_sum + wv
-        term = term | (valid & (big_t < 1e-4))                        # :727
+        term = term | (valid & (big_t < 1e-4))                  # :727
         return (w_sum, d, racc, t_c, term), None
 
     init = (weight_sum, depth, rgb_acc, t_round_start,
             jnp.zeros((n,), bool))
     (w_sum, d, racc, _, term), _ = jax.lax.scan(
-        body, init, jnp.arange(S, dtype=jnp.int32))
+        body, init, jnp.arange(smp_dt.shape[0], dtype=jnp.int32))
     return w_sum, d, racc, term
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
-def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
-                nears, fars, settings: RenderSettings) -> RenderResult:
-    """Render a batch of rays to (rgb, depth, weight_sum).
-
-    apply_fn(params, pos01, dir01) -> (rgb [...,3], sigma [...]) — the
-    NerfNetwork forward (oracle or fused-Pallas variant).
-    One fused jit: ray init, march-round while_loop, background blend
-    (nerf_render.cu:238-343 without any host round-trips).
-    """
-    s = settings
-    n = rays_o.shape[0]
+def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
+                  rays_d_cf, nears, fars, s: RenderSettings):
+    """Render one chunk of rays; all channel-first. Returns
+    (rgb [3, N], depth [N], weight_sum [N], rounds)."""
+    n = nears.shape[0]
     bound = jnp.float32(s.bound)
 
-    t0 = nears  # init_step0 (render_utils.h:221-239)
     state0 = dict(
-        t=t0,
-        alive=t0 < fars,
+        t=nears,  # init_step0 (render_utils.h:221-239)
+        alive=nears < fars,
         weight_sum=jnp.zeros((n,), jnp.float32),
         depth=jnp.zeros((n,), jnp.float32),
-        rgb=jnp.zeros((n, 3), jnp.float32),
+        rgb=jnp.zeros((3, n), jnp.float32),
         rounds=jnp.int32(0),
     )
 
@@ -199,16 +202,20 @@ def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
 
     def body(st):
         t_new, sx, sdt, srd, emit = _march_round(
-            st["t"], st["t"], st["alive"], rays_o, rays_d, fars,
+            st["t"], st["alive"], rays_o_cf, rays_d_cf, fars,
             density_grid, s)
 
         # Network eval (nerf_render.cu:311-329): normalize inputs exactly as
         # the two linear_transformer calls, then one batched forward.
-        pos01 = sx / (2.0 * bound) + 0.5
-        dir01 = jnp.broadcast_to(rays_d[:, None, :] * 0.5 + 0.5, sx.shape)
+        S = s.samples_per_round
+        pos01 = sx.reshape(3, S * n) / (2.0 * bound) + 0.5
+        dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                                 (3, S, n)).reshape(3, S * n)
         rgb_s, sigma_s = apply_fn(params, pos01, dir01)
         if s.density_scale != 1.0:
             sigma_s = sigma_s * jnp.float32(s.density_scale)  # :328-329
+        rgb_s = rgb_s.reshape(3, S, n)
+        sigma_s = sigma_s.reshape(S, n)
 
         w_sum, d, racc, term = _composite_round(
             rgb_s, sigma_s, sdt, srd, emit, st["t"], st["weight_sum"],
@@ -221,11 +228,64 @@ def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
     st = jax.lax.while_loop(cond, body, state0)
 
     # get_image_and_depth (render_utils.h:241-265)
-    rgb = st["rgb"] + (1.0 - st["weight_sum"])[:, None] * jnp.float32(s.bg_color)
+    rgb = st["rgb"] + (1.0 - st["weight_sum"])[None, :] \
+        * jnp.float32(s.bg_color)
     span = fars - nears
     depth = jnp.where(span > 0,
                       jnp.maximum(st["depth"] - nears, 0.0)
                       / jnp.where(span > 0, span, 1.0),
                       0.0)
-    return RenderResult(rgb=rgb, depth=depth, weight_sum=st["weight_sum"],
-                        n_rounds=st["rounds"])
+    return rgb, depth, st["weight_sum"], st["rounds"]
+
+
+_FLT_MAX = jnp.float32(3.4028235e38)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
+def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
+                nears, fars, settings: RenderSettings) -> RenderResult:
+    """Render a batch of rays to (rgb, depth, weight_sum).
+
+    apply_fn(params, pos01_cf [3,B], dir01_cf [3,B]) -> (rgb [3,B],
+    sigma [B]) — the NerfNetwork channel-first forward (oracle or fused
+    Pallas variant). One fused jit, no host round-trips; memory bounded by
+    `settings.ray_chunk` via lax.map over chunks.
+    """
+    s = settings
+    n = rays_o.shape[0]
+    chunk = min(s.ray_chunk, n)
+
+    rays_o_cf = rays_o.T  # [3, N]
+    rays_d_cf = rays_d.T
+
+    if n <= chunk:
+        rgb, depth, wsum, rounds = _render_chunk(
+            apply_fn, params, density_grid, rays_o_cf, rays_d_cf, nears,
+            fars, s)
+        return RenderResult(rgb=rgb.T, depth=depth, weight_sum=wsum,
+                            n_rounds=rounds)
+
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk - n
+    if n_pad:
+        # padding rays are born dead: near == far == FLT_MAX
+        rays_o_cf = jnp.pad(rays_o_cf, ((0, 0), (0, n_pad)))
+        rays_d_cf = jnp.pad(rays_d_cf, ((0, 0), (0, n_pad)),
+                            constant_values=1.0)
+        nears = jnp.pad(nears, (0, n_pad), constant_values=_FLT_MAX)
+        fars = jnp.pad(fars, (0, n_pad), constant_values=_FLT_MAX)
+
+    def one(chunk_in):
+        o, d, nr, fr = chunk_in
+        return _render_chunk(apply_fn, params, density_grid, o, d, nr, fr, s)
+
+    xs = (rays_o_cf.reshape(3, n_chunks, chunk).transpose(1, 0, 2),
+          rays_d_cf.reshape(3, n_chunks, chunk).transpose(1, 0, 2),
+          nears.reshape(n_chunks, chunk),
+          fars.reshape(n_chunks, chunk))
+    rgb, depth, wsum, rounds = jax.lax.map(one, xs)
+    rgb = rgb.transpose(1, 0, 2).reshape(3, n_chunks * chunk)[:, :n]
+    depth = depth.reshape(-1)[:n]
+    wsum = wsum.reshape(-1)[:n]
+    return RenderResult(rgb=rgb.T, depth=depth, weight_sum=wsum,
+                        n_rounds=jnp.max(rounds))

@@ -89,6 +89,21 @@ def test_full_forward_shapes_and_sigma_activation():
                                rtol=1e-6)
 
 
+def test_channel_first_matches_channels_last():
+    """apply_cf (the hot-path SoA layout) must equal apply exactly."""
+    net = _net()
+    params = net.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(0, 1, (33, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.uniform(0, 1, (33, 3)).astype(np.float32))
+    rgb, sigma = net.apply(params, pos, dirs)
+    rgb_cf, sigma_cf = net.apply_cf(params, pos.T, dirs.T)
+    np.testing.assert_allclose(np.asarray(rgb_cf.T), np.asarray(rgb),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sigma_cf), np.asarray(sigma),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_leading_batch_dims():
     net = _net()
     params = net.init_params()

@@ -116,7 +116,10 @@ def test_march_matches_reference_simulator():
     def apply_fn(p, pos01, dir01):
         return net.apply(p, pos01, dir01)
 
-    res = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    res = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
                       settings)
 
     ref_rgb, ref_depth, ref_wsum = render_rays_reference(
@@ -142,17 +145,18 @@ def test_round_partition_invariance():
                                      jnp.asarray(settings.aabb, jnp.float32),
                                      settings.min_near)
 
-    def apply_fn(p, pos01, dir01):
-        return net.apply(p, pos01, dir01)
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
 
     import dataclasses
 
-    a = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+    a = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
                     dataclasses.replace(settings, samples_per_round=4,
                                         probes_per_round=8))
-    b = render_rays(apply_fn, params, grid, rays_o, rays_d, nears, fars,
+    b = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
                     dataclasses.replace(settings, samples_per_round=16,
-                                        probes_per_round=32))
+                                        probes_per_round=32,
+                                        ray_chunk=64))
     np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.weight_sum),
