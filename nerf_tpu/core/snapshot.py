@@ -11,6 +11,7 @@ missing save path so snapshots round-trip.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -31,11 +32,42 @@ class Snapshot:
 
 
 def load_snapshot(path_or_config) -> Snapshot:
-    """Load a .msgpack snapshot file (or an already-parsed config dict)."""
+    """Load a .msgpack snapshot file (or an already-parsed config dict).
+
+    File loads use the native C++ codec (nerf_tpu/native) when available —
+    the big float arrays decode straight into numpy buffers — and fall
+    back to pure-Python msgpack otherwise.
+    """
+    native_fields = None
     if isinstance(path_or_config, dict):
         config = path_or_config
     else:
-        config = load_network_config(str(path_or_config))
+        path = str(path_or_config)
+        config = None
+        if path.lower().endswith(".msgpack") and os.path.exists(path):
+            from nerf_tpu import native
+
+            with open(path, "rb") as f:
+                raw = f.read()
+            scanned = native.fast_scan_snapshot(raw)
+            if scanned is not None:
+                native_fields, spliced = scanned
+                if ("params" in native_fields
+                        and "density_grid" in native_fields):
+                    import msgpack
+
+                    config = msgpack.unpackb(spliced, raw=False,
+                                             strict_map_key=False)
+                    snap_map = dict(config.get("snapshot", {}))
+                    snap_map["params"] = native_fields["params"]
+                    snap_map["density_grid"] = native_fields["density_grid"]
+                    if "aabb" in native_fields:
+                        snap_map["aabb"] = native_fields["aabb"]
+                    config["snapshot"] = snap_map
+                else:
+                    config = None
+        if config is None:
+            config = load_network_config(path)
     if "snapshot" not in config:
         raise ValueError("File does not contain a snapshot.")
     snap = config["snapshot"]
@@ -61,12 +93,30 @@ def load_snapshot(path_or_config) -> Snapshot:
                     settings=settings)
 
 
+def _pack_f32_array(arr: np.ndarray) -> bytes:
+    """msgpack-encode a float array vectorized: array32 header + one
+    0xca+BE-float record per element (no per-element Python objects)."""
+    a = np.asarray(arr, np.float32).ravel()
+    n = a.size
+    header = b"\xdd" + np.uint32(n).byteswap().tobytes()  # array32
+    body = np.empty((n, 5), np.uint8)
+    body[:, 0] = 0xCA
+    body[:, 1:] = a.view(np.uint8).reshape(n, 4)[:, ::-1]  # big-endian
+    return header + body.tobytes()
+
+
 def save_snapshot(path: str, config: Dict, params: np.ndarray,
                   density_grid: np.ndarray, settings: RenderSettings) -> None:
     """Write a reference-layout msgpack snapshot (capability the reference
-    lacks; layout matches its reader, src/nerf_render.cu:438-453)."""
+    lacks; layout matches its reader, src/nerf_render.cu:438-453).
+
+    The big float arrays are encoded vectorized (placeholder splice), so
+    saving is O(bytes), not O(python objects).
+    """
     import msgpack
 
+    ph_grid = b"\x00__NERF_TPU_GRID__\x00"
+    ph_params = b"\x00__NERF_TPU_PARAMS__\x00"
     out = {k: v for k, v in config.items() if k != "snapshot"}
     out["snapshot"] = {
         "aabb": [float(v) for v in settings.aabb],
@@ -75,11 +125,18 @@ def save_snapshot(path: str, config: Dict, params: np.ndarray,
         "cascade": int(settings.cascade),
         "density_grid_size": int(settings.grid_h),
         "mean_density": float(settings.mean_density),
-        "density_grid": np.asarray(density_grid, np.float32).ravel().tolist(),
-        "params": np.asarray(params, np.float32).ravel().tolist(),
+        "density_grid": ph_grid,
+        "params": ph_params,
     }
+    packed = msgpack.packb(out, use_bin_type=True)
+    packed = packed.replace(
+        b"\xc4" + bytes([len(ph_grid)]) + ph_grid,
+        _pack_f32_array(density_grid))
+    packed = packed.replace(
+        b"\xc4" + bytes([len(ph_params)]) + ph_params,
+        _pack_f32_array(params))
     with open(path, "wb") as f:
-        msgpack.pack(out, f)
+        f.write(packed)
 
 
 # ---------------------------------------------------------------------------
