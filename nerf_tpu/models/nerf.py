@@ -176,6 +176,57 @@ class NerfNetwork:
             d_out[0].astype(jnp.float32))
         return rgb_out[:3].astype(jnp.float32), sigma
 
+    # -- fused Pallas head (FullyFusedMLP analog) --------------------------
+    @property
+    def fused_supported(self) -> bool:
+        """True when the dir encoding reduces to plain SH, so the whole
+        post-encoding chain can run in the fused TPU kernel."""
+        return self._sh_spec() is not None
+
+    def _sh_spec(self):
+        from nerf_tpu.encodings.composite import CompositeEncoding
+        from nerf_tpu.encodings.spherical import SphericalHarmonicsEncoding
+
+        enc = self.dir_encoding
+        if isinstance(enc, CompositeEncoding):
+            if len(enc.nested) != 1:
+                return None
+            enc = enc.nested[0]
+        if not isinstance(enc, SphericalHarmonicsEncoding):
+            return None
+        return (enc.degree, enc.n_to_pad)
+
+    def apply_cf_fused(self, params: Dict, pos01_cf, dir01_cf,
+                       interpret: bool = False, block_b: int = 2048):
+        """Fused hot path: XLA hash-grid encode + one Pallas kernel for
+        density MLP -> SH -> rgb MLP -> sigma extraction
+        (nerf_tpu/ops/pallas/fused_network.py). Numerics: bf16 storage,
+        fp32 accumulation — the analog of tcnn's __half wmma."""
+        from nerf_tpu.ops.pallas.fused_network import fused_nerf_mlp
+
+        spec = self._sh_spec()
+        if spec is None:
+            return self.apply_cf(params, pos01_cf, dir01_cf)
+        degree, pad_front = spec
+
+        h = self.pos_encoding.apply_cf(params["pos_encoding"], pos01_cf)
+        d_mats = self.density_network.unflatten(params["density_mlp"])
+        r_mats = self.rgb_network.unflatten(params["rgb_mlp"])
+        cd = self.compute_dtype if self.compute_dtype != jnp.float32 \
+            else jnp.bfloat16
+        out = fused_nerf_mlp(
+            h, dir01_cf, tuple(d_mats) + tuple(r_mats),
+            n_density_mats=len(d_mats),
+            sh_degree=degree, sh_pad_front=pad_front,
+            rgb_input_width=self.rgb_network_input_width,
+            density_act=self.density_network.activation,
+            density_out_act=self.density_network.output_activation,
+            rgb_act=self.rgb_network.activation,
+            rgb_out_act=self.rgb_network.output_activation,
+            block_b=block_b, compute_dtype=cd, interpret=interpret)
+        sigma = activation_fn(self.sigma_activation)(out[3])
+        return out[:3], sigma
+
     def apply_packed(self, params: Dict, x):
         """Reference-shaped entry: x [..., 6] -> rgbd [..., 4] with
         rows 0..2 = rgb, row 3 = sigma (nerf_network.h:148-196)."""

@@ -48,7 +48,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_render(render_core, mesh: Mesh, w: int, h: int,
-                 settings: RenderSettings, net):
+                 settings: RenderSettings, net, use_fused: bool = False):
     """Build a jitted, ray-sharded whole-frame render function.
 
     Each chip renders pixels [idx*block, (idx+1)*block); outputs come back
@@ -61,8 +61,12 @@ def shard_render(render_core, mesh: Mesh, w: int, h: int,
             f"resolution {w}x{h} must divide the {n_dev}-device mesh")
     block = n_pixels // n_dev
 
-    def apply_fn(params, pos01_cf, dir01_cf):
-        return net.apply_cf(params, pos01_cf, dir01_cf)
+    if use_fused:
+        def apply_fn(params, pos01_cf, dir01_cf):
+            return net.apply_cf_fused(params, pos01_cf, dir01_cf)
+    else:
+        def apply_fn(params, pos01_cf, dir01_cf):
+            return net.apply_cf(params, pos01_cf, dir01_cf)
 
     def shard_fn(params, density_grid, cam_params, rotation, origin):
         idx = jax.lax.axis_index(RAY_AXIS)

@@ -38,10 +38,13 @@ class NerfRender:
 
     def __init__(self, compute_dtype=jnp.float32,
                  settings: Optional[RenderSettings] = None,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 use_fused: Optional[bool] = None):
         self.compute_dtype = compute_dtype
         self.settings = settings or RenderSettings()
         self.mesh = mesh
+        # fused Pallas head: default on for TPU backends, off elsewhere
+        self.use_fused = use_fused
         self.network: Optional[NerfNetwork] = None
         self.params: Optional[Dict] = None
         self.density_grid = None
@@ -87,13 +90,23 @@ class NerfRender:
         self._render_fn = None
 
     # -- rendering ---------------------------------------------------------
+    def _resolve_fused(self) -> bool:
+        if self.use_fused is not None:
+            return self.use_fused and self.network.fused_supported
+        return (jax.default_backend() not in ("cpu",)
+                and self.network.fused_supported)
+
     def _build_render_fn(self):
         w, h = self.resolution
         net = self.network
         settings = self.settings
 
-        def apply_fn(params, pos01_cf, dir01_cf):
-            return net.apply_cf(params, pos01_cf, dir01_cf)
+        if self._resolve_fused():
+            def apply_fn(params, pos01_cf, dir01_cf):
+                return net.apply_cf_fused(params, pos01_cf, dir01_cf)
+        else:
+            def apply_fn(params, pos01_cf, dir01_cf):
+                return net.apply_cf(params, pos01_cf, dir01_cf)
 
         @functools.partial(jax.jit, static_argnames=())
         def render(params, density_grid, cam_params, rotation, origin):
@@ -109,7 +122,8 @@ class NerfRender:
 
         if self.mesh is not None:
             from nerf_tpu.parallel.mesh import shard_render
-            return shard_render(render, self.mesh, w, h, settings, net)
+            return shard_render(render, self.mesh, w, h, settings, net,
+                                use_fused=self._resolve_fused())
         return render
 
     def render_frame_arrays(self, cam: Camera, pose: np.ndarray):
