@@ -62,6 +62,10 @@ class GridEncoding(Encoding):
         self.per_level_scale = float(config.get("per_level_scale", 2.0))
         self.interpolation = str(config.get("interpolation", "Linear"))
         self.quantize_threshold = float(config.get("quantize_threshold", 0.0))
+        # bf16 table entries packed in pairs into one uint32 per gather —
+        # halves random HBM access streams; matches the reference's
+        # half-precision tables (tcnn common.h:70). F==2 only.
+        self.packed_gather = bool(config.get("packed_gather", False))
 
         self.n_output_dims = self.n_levels * self.n_features_per_level
         self.alignment = max(1, int(alignment))
@@ -178,12 +182,35 @@ class GridEncoding(Encoding):
         frac = pos - cell_f
         cell = cell_f.astype(jnp.uint32)
 
-        cols = [table[:, f] for f in range(F)]  # F x [total]
+        packed = self.packed_gather and F == 2
+        if packed:
+            # pack (bf16(f0), bf16(f1)) into one uint32 per table entry
+            b0 = jax.lax.bitcast_convert_type(
+                table[:, 0].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            b1 = jax.lax.bitcast_convert_type(
+                table[:, 1].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            ptable = b0 | (b1 << jnp.uint32(16))
+
+            def gather(rows):
+                v = ptable[rows]
+                f0 = jax.lax.bitcast_convert_type(v << jnp.uint32(16),
+                                                  jnp.float32)
+                f1 = jax.lax.bitcast_convert_type(
+                    v & jnp.uint32(0xFFFF0000), jnp.float32)
+                return [f0, f1]
+        else:
+            cols = [table[:, f] for f in range(F)]  # F x [total]
+
+            def gather(rows):
+                return [col[rows].astype(jnp.float32) for col in cols]
+
         interp = self.interpolation.lower()
         if interp == "nearest":
             # Nearest uses the floored cell directly (grid.h:218-233).
             rows = self._corner_rows_cf(cell, 0)
-            acc = [col[rows].astype(jnp.float32) for col in cols]
+            acc = gather(rows)
         else:
             if interp == "smoothstep":
                 frac = frac * frac * (3.0 - 2.0 * frac)
@@ -195,8 +222,7 @@ class GridEncoding(Encoding):
                     fd = frac[d]
                     w = w * (fd if (corner >> d) & 1 else 1.0 - fd)
                 vals = []
-                for col in cols:
-                    v = col[rows].astype(jnp.float32)  # [L, B]
+                for v in gather(rows):  # F x [L, B]
                     if self.quantize_threshold > 0.0:
                         v = jnp.where(jnp.abs(v) < self.quantize_threshold,
                                       0.0, v)

@@ -39,12 +39,16 @@ class NerfRender:
     def __init__(self, compute_dtype=jnp.float32,
                  settings: Optional[RenderSettings] = None,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 use_fused: Optional[bool] = None):
+                 use_fused: Optional[bool] = None,
+                 packed_grid: Optional[bool] = None):
         self.compute_dtype = compute_dtype
         self.settings = settings or RenderSettings()
         self.mesh = mesh
         # fused Pallas head: default on for TPU backends, off elsewhere
         self.use_fused = use_fused
+        # packed bf16 hash-table gathers (reference half-precision parity);
+        # default follows the fused resolution
+        self.packed_grid = packed_grid
         self.network: Optional[NerfNetwork] = None
         self.params: Optional[Dict] = None
         self.density_grid = None
@@ -100,6 +104,13 @@ class NerfRender:
         w, h = self.resolution
         net = self.network
         settings = self.settings
+
+        from nerf_tpu.encodings.hashgrid import GridEncoding
+
+        if isinstance(net.pos_encoding, GridEncoding):
+            packed = (self.packed_grid if self.packed_grid is not None
+                      else jax.default_backend() not in ("cpu",))
+            net.pos_encoding.packed_gather = packed
 
         if self._resolve_fused():
             def apply_fn(params, pos01_cf, dir01_cf):

@@ -95,6 +95,19 @@ class TestGrid:
         out = enc.apply(params, jnp.full((4, 3), 0.3))
         assert out.shape == (4, 32)
 
+    def test_packed_gather_close_to_fp32(self):
+        """Packed bf16-pair gathers (one uint32 per entry) must match the
+        fp32 path to bf16 tolerance."""
+        enc = GridEncoding(3, BASE_GRID_CFG, alignment=16)
+        params = enc.init_params(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (64, 3))
+                        .astype(np.float32))
+        ref = np.asarray(enc.apply(params, x))
+        enc.packed_gather = True
+        got = np.asarray(enc.apply(params, x))
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 0.01, err
+
     def test_tiled_grid(self):
         cfg = {"otype": "TiledGrid", "n_levels": 4, "n_features_per_level": 2,
                "base_resolution": 8, "per_level_scale": 2.0}
