@@ -15,6 +15,10 @@ import numpy as np
 def main():
     import jax
 
+    from nerf_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     from nerf_tpu.core.snapshot import make_synthetic_snapshot
     from nerf_tpu.core.types import Camera, RenderSettings
     from nerf_tpu.render.engine import NerfRender

@@ -125,6 +125,30 @@ class GridEncoding(Encoding):
         self.total_entries = offset
         self._n_params = offset * self.n_features_per_level
 
+        # Static per-level strategy for `idx % level_size` — integer modulo
+        # by a runtime vector lowers to a slow division loop on the VPU
+        # (measured 2.5 s/encode at 512k samples); replace with:
+        #   pow2 sizes  -> AND mask
+        #   dense/hash  -> single conditional subtract (idx < 2*size holds:
+        #                  dense idx <= res+res^2+res^3 < 2*size; hashed idx
+        #                  is only reached when size is the pow2 hashmap cap)
+        #   otherwise   -> true modulo (Tiled fine levels)
+        pow2 = [(sz & (sz - 1)) == 0 for sz in level_sizes]
+        # subtract is exact iff the level is uncapped dense (size >= res^D,
+        # so any corner index < 2*size); hashed levels are always the pow2
+        # hashmap cap; anything else (capped Tiled) needs a true modulo
+        uncapped = [sz >= res ** self.n_dims
+                    for sz, res in zip(level_sizes, resolutions)]
+        self._and_mask = np.asarray(
+            [sz - 1 if p else 0xFFFFFFFF
+             for sz, p in zip(level_sizes, pow2)], np.uint32)
+        self._needs_sub = [(not p) and u for p, u in zip(pow2, uncapped)]
+        self._sub_mask = np.asarray(
+            [sz if s else 0 for sz, s in zip(level_sizes, self._needs_sub)],
+            np.uint32)
+        self._needs_mod = any(
+            (not p) and not s for p, s in zip(pow2, self._needs_sub))
+
     @property
     def n_params(self) -> int:
         return self._n_params
@@ -163,7 +187,14 @@ class GridEncoding(Encoding):
 
         idx = jnp.where(jnp.asarray(self._use_hash)[:, None], idx_hash,
                         idx_dense)
-        idx = idx % jnp.asarray(self._level_sizes)[:, None]
+        # static per-level reduction strategy (see ctor): AND for pow2,
+        # conditional subtract for dense, true mod only when required
+        idx = idx & jnp.asarray(self._and_mask)[:, None]
+        if any(self._needs_sub):
+            sub = jnp.asarray(self._sub_mask)[:, None]
+            idx = jnp.where((sub > 0) & (idx >= sub), idx - sub, idx)
+        if self._needs_mod:
+            idx = idx % jnp.asarray(self._level_sizes)[:, None]
         return idx + jnp.asarray(self._offsets)[:, None]
 
     def _encode_cf(self, params, x_cf):

@@ -69,7 +69,7 @@ def _mip_level(x_cf, cascade: int):
 
 
 def _march_round(t, alive, rays_o, rays_d, far, density_grid,
-                 s: RenderSettings):
+                 s: RenderSettings, round_idx=None):
     """One round of sample generation for all rays (channel-first).
 
     rays_o/rays_d: [3, N]. Returns (t_new [N], smp_xyz [3, S, N],
@@ -88,6 +88,13 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
     rd_inv = 1.0 / rays_d
     sgn = jnp.copysign(jnp.float32(1.0), rays_d)  # signf (render_utils.h:145)
     slot_iota = jnp.arange(S, dtype=jnp.int32)
+
+    if s.perturb and round_idx is not None:
+        # per-round stochastic start jitter (render_utils.h:586-589; the
+        # reference seeds pcg32(ray, perturb) each march call)
+        key = jax.random.fold_in(jax.random.PRNGKey(s.perturb), round_idx)
+        t = t + jnp.float32(MIN_STEPSIZE) \
+            * jax.random.uniform(key, t.shape)
 
     smp_xyz0 = jnp.zeros((3, S, n), jnp.float32)
     smp_dt0 = jnp.zeros((S, n), jnp.float32)
@@ -203,7 +210,7 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
     def body(st):
         t_new, sx, sdt, srd, emit = _march_round(
             st["t"], st["alive"], rays_o_cf, rays_d_cf, fars,
-            density_grid, s)
+            density_grid, s, round_idx=st["rounds"])
 
         # Network eval (nerf_render.cu:311-329): normalize inputs exactly as
         # the two linear_transformer calls, then one batched forward.

@@ -204,3 +204,29 @@ def test_engine_sharded_matches_single():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w4), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_perturb_mode():
+    """perturb adds stochastic start jitter (render_utils.h:586-589);
+    output stays finite and close to the unperturbed render."""
+    import dataclasses
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.0, 0.0, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 8, 8)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    base = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                       settings)
+    pert = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                       dataclasses.replace(settings, perturb=7))
+    assert np.all(np.isfinite(np.asarray(pert.rgb)))
+    diff = np.abs(np.asarray(pert.rgb) - np.asarray(base.rgb)).max()
+    assert 0 < diff < 0.2, diff
