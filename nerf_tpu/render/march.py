@@ -102,8 +102,8 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
     emit0 = jnp.zeros((n,), jnp.int32)
     done0 = ~alive
 
-    def probe(_, carry):
-        t, last_t, emit, done, sx, sdt, srd = carry
+    def probe(carry):
+        i, t, last_t, emit, done, sx, sdt, srd = carry
         active = ~done & (t < far)
 
         x = jnp.clip(rays_o + t[None, :] * rays_d, -bound, bound)  # :595-597
@@ -151,10 +151,17 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
         last_t = jnp.where(emit_now, t_emit, last_t)
         emit = emit + emit_now.astype(jnp.int32)
         done = done | freeze
-        return t_new, last_t, emit, done, sx, sdt, srd
+        return i + 1, t_new, last_t, emit, done, sx, sdt, srd
 
-    t, _, emit, _, sx, sdt, srd = jax.lax.fori_loop(
-        0, P, probe, (t, t, emit0, done0, smp_xyz0, smp_dt0, smp_rd0))
+    def probe_cond(carry):
+        # stop early once no ray can still emit this round (the reference
+        # marcher exits at step == n_step, render_utils.h:593)
+        i, t, _, emit, done, *_ = carry
+        return (i < P) & jnp.any(~done & (t < far) & (emit < S))
+
+    _, t, _, emit, _, sx, sdt, srd = jax.lax.while_loop(
+        probe_cond, probe,
+        (jnp.int32(0), t, t, emit0, done0, smp_xyz0, smp_dt0, smp_rd0))
     return t, sx, sdt, srd, emit
 
 
