@@ -219,21 +219,34 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
             st["t"], st["alive"], rays_o_cf, rays_d_cf, fars,
             density_grid, s, round_idx=st["rounds"])
 
-        # Network eval (nerf_render.cu:311-329): normalize inputs exactly as
-        # the two linear_transformer calls, then one batched forward.
-        S = s.samples_per_round
-        pos01 = sx.reshape(3, S * n) / (2.0 * bound) + 0.5
-        dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
-                                 (3, S, n)).reshape(3, S * n)
-        rgb_s, sigma_s = apply_fn(params, pos01, dir01)
-        if s.density_scale != 1.0:
-            sigma_s = sigma_s * jnp.float32(s.density_scale)  # :328-329
-        rgb_s = rgb_s.reshape(3, S, n)
-        sigma_s = sigma_s.reshape(S, n)
+        def eval_and_composite(op):
+            sx, sdt, srd, emit, t0, w0, d0, rgb0 = op
+            # Network eval (nerf_render.cu:311-329): normalize inputs
+            # exactly as the two linear_transformer calls, then one
+            # batched forward.
+            S = s.samples_per_round
+            pos01 = sx.reshape(3, S * n) / (2.0 * bound) + 0.5
+            dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                                     (3, S, n)).reshape(3, S * n)
+            rgb_s, sigma_s = apply_fn(params, pos01, dir01)
+            if s.density_scale != 1.0:
+                sigma_s = sigma_s * jnp.float32(s.density_scale)  # :328-329
+            rgb_s = rgb_s.reshape(3, S, n)
+            sigma_s = sigma_s.reshape(S, n)
+            return _composite_round(rgb_s, sigma_s, sdt, srd, emit, t0, w0,
+                                    d0, rgb0)
 
-        w_sum, d, racc, term = _composite_round(
-            rgb_s, sigma_s, sdt, srd, emit, st["t"], st["weight_sum"],
-            st["depth"], st["rgb"])
+        def no_samples(op):
+            _, _, _, _, _, w0, d0, rgb0 = op
+            return w0, d0, rgb0, jnp.zeros(n, bool)
+
+        # pure empty-space-traversal rounds skip the network entirely (the
+        # reference can't hit this case — its march only returns once
+        # samples exist or rays are exhausted)
+        w_sum, d, racc, term = jax.lax.cond(
+            jnp.any(emit > 0), eval_and_composite, no_samples,
+            (sx, sdt, srd, emit, st["t"], st["weight_sum"], st["depth"],
+             st["rgb"]))
 
         alive = st["alive"] & ~term & (t_new < fars)
         return dict(t=t_new, alive=alive, weight_sum=w_sum, depth=d,
