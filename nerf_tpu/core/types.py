@@ -66,7 +66,7 @@ class RenderSettings:
     # TPU marcher shape knobs
     samples_per_round: int = 8
     probes_per_round: int = 16
-    skip_iters: int = 12
+    skip_iters: int = 512  # safety cap on the voxel-skip while_loop
     # rays per lax.map chunk — bounds HBM (analog of the reference's
     # per-GPU buffer sizing, nerf_render.cu:186-236)
     ray_chunk: int = 65536

@@ -135,17 +135,30 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
         srd = jnp.where(onehot, (t_emit - last_t)[None, :], srd)
 
         # --- voxel skip (:641-651) ------------------------------------
+        # The reference's do-while steps until t >= tt even when tt
+        # overshoots into the next voxel (its boundary formula divides by
+        # H-1 while the quantization divides by H) — occupied-voxel entry
+        # points can be deliberately skipped past. Exact reproduction needs
+        # the full loop, not a truncated unroll: a masked while_loop with
+        # `skip_iters` as a safety cap only.
         bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
                / float(h - 1) * 2.0 - 1.0) * mip_bound[None, :]
         t_axes = (bnd - x) * rd_inv
         tt = t + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
+        tt_eff = jnp.where(skip_now, tt, -jnp.inf)
         t_skip = t + dt  # do-while executes once unconditionally
 
-        def skip_step(_, ts):
-            step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
-            return jnp.where(ts < tt, ts + step, ts)
+        def skip_cond(carry):
+            k, ts = carry
+            return (k < s.skip_iters) & jnp.any(ts < tt_eff)
 
-        t_skip = jax.lax.fori_loop(0, s.skip_iters, skip_step, t_skip)
+        def skip_step(carry):
+            k, ts = carry
+            step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
+            return k + 1, jnp.where(ts < tt_eff, ts + step, ts)
+
+        _, t_skip = jax.lax.while_loop(skip_cond, skip_step,
+                                       (jnp.int32(0), t_skip))
 
         t_new = jnp.where(emit_now, t_emit, jnp.where(skip_now, t_skip, t))
         last_t = jnp.where(emit_now, t_emit, last_t)

@@ -34,9 +34,14 @@ def march_ray(o, d, near, far, grid, s: RenderSettings, max_samples=4096):
 
     t = f32(near)
     last_t = t
+    o64 = o.astype(np.float64)
+    d64 = d.astype(np.float64)
     xyzs, dts, rds = [], [], []
     while t < far and len(xyzs) < max_samples:
-        x = np.clip(o + t * d, -bound, bound).astype(f32)
+        # single-rounding o + t*d (FMA) — XLA contracts the mul+add on both
+        # CPU and TPU; two-rounding NumPy arithmetic diverges by 1 ulp and
+        # flips knife-edge voxel decisions
+        x = np.clip((o64 + np.float64(t) * d64).astype(f32), -bound, bound)
         level = mip_from_pos(x[0], x[1], x[2], s.cascade)
         mip_bound = f32(min(2.0 ** level, s.bound))
         n = np.clip(f32(0.5) * (x / mip_bound + f32(1.0)) * h, 0.0,
@@ -54,7 +59,8 @@ def march_ray(o, d, near, far, grid, s: RenderSettings, max_samples=4096):
             sgn = np.copysign(f32(1.0), d).astype(f32)
             bnd = ((n.astype(f32) + f32(0.5) + f32(0.5) * sgn)
                    / f32(h - 1) * f32(2.0) - f32(1.0)) * mip_bound
-            t_axes = (bnd - x) / d
+            # reciprocal-multiply like the reference (render_utils.h:576)
+            t_axes = ((bnd - x) * (f32(1.0) / d)).astype(f32)
             tt = f32(t + max(0.0, t_axes.min()))
             while True:
                 step = f32(np.clip(t * dt_gamma, dt_min, dt_max))

@@ -230,3 +230,54 @@ def test_perturb_mode():
     assert np.all(np.isfinite(np.asarray(pert.rgb)))
     diff = np.abs(np.asarray(pert.rgb) - np.asarray(base.rgb)).max()
     assert 0 < diff < 0.2, diff
+
+
+def test_march_cascade2_matches_simulator():
+    """Multi-cascade occupancy (mip_from_pos levels) vs the NumPy port.
+
+    Note: occupancy must be structured (smooth shells), not random noise —
+    XLA fuses `o + t*d` into an FMA while NumPy rounds the product, so
+    positions can differ by 1 ulp; with random per-voxel occupancy those
+    ulps flip knife-edge voxel decisions and the comparison becomes
+    meaningless (both streams are valid marches of ulp-perturbed rays).
+    """
+    snap = make_synthetic_snapshot(seed=5, grid_h=16, cascade=2, bound=2.0,
+                                   network_config=SMALL_CFG)
+    settings = RenderSettings(
+        bound=2.0, cascade=2, grid_h=16,
+        mean_density=snap.settings.mean_density,
+        aabb=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0), density_scale=8.0)
+    net = build_nerf_network(snap.config, bound=2.0)
+    params = net.unpack_params(jnp.asarray(snap.params))
+    # cascade 1: a larger shell, so level selection matters
+    h = 16
+    coords = (np.arange(h, dtype=np.float32) + 0.5) / h * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
+    r = np.sqrt(gx * gx + gy * gy + gz * gz)
+    g = np.asarray(snap.density_grid).copy()
+    g[h ** 3:] = np.where((r > 0.3) & (r < 0.8), 1.0, 0.0).reshape(-1)
+    grid = jnp.asarray(g)
+
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, -0.3, -3.5], np.float32)
+    cam = Camera(fl_x=8.0, fl_y=8.0, cx=4.0, cy=4.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 8, 8)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_fn(p, pos01, dir01):
+        return net.apply(p, pos01, dir01)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    res = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+    ref_rgb, ref_depth, ref_wsum = render_rays_reference(
+        apply_fn, params, np.asarray(grid), np.asarray(rays_o),
+        np.asarray(rays_d), np.asarray(nears), np.asarray(fars), settings)
+    np.testing.assert_allclose(np.asarray(res.weight_sum), ref_wsum,
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(res.rgb), ref_rgb, rtol=3e-4,
+                               atol=3e-4)
