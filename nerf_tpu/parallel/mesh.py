@@ -68,7 +68,8 @@ def shard_render(render_core, mesh: Mesh, w: int, h: int,
         def apply_fn(params, pos01_cf, dir01_cf):
             return net.apply_cf(params, pos01_cf, dir01_cf)
 
-    def shard_fn(params, density_grid, cam_params, rotation, origin):
+    def shard_fn(params, density_grid, cam_params, rotation, origin,
+                 perturb_seed):
         idx = jax.lax.axis_index(RAY_AXIS)
         cam = Camera(fl_x=cam_params[0], fl_y=cam_params[1],
                      cx=cam_params[2], cy=cam_params[3])
@@ -79,12 +80,14 @@ def shard_render(render_core, mesh: Mesh, w: int, h: int,
             rays_o, rays_d, jnp.asarray(settings.aabb, jnp.float32),
             settings.min_near)
         res = render_rays(apply_fn, params, density_grid, rays_o, rays_d,
-                          nears, fars, settings)
+                          nears, fars, settings,
+                          perturb_seed=perturb_seed
+                          + idx * jnp.int32(1315423911))
         return res.rgb, res.depth, res.weight_sum
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False,
     )

@@ -120,7 +120,8 @@ class NerfRender:
                 return net.apply_cf(params, pos01_cf, dir01_cf)
 
         @functools.partial(jax.jit, static_argnames=())
-        def render(params, density_grid, cam_params, rotation, origin):
+        def render(params, density_grid, cam_params, rotation, origin,
+                   perturb_seed):
             cam = Camera(fl_x=cam_params[0], fl_y=cam_params[1],
                          cx=cam_params[2], cy=cam_params[3])
             rays_o, rays_d = generate_rays(cam, rotation, origin, w, h)
@@ -128,7 +129,8 @@ class NerfRender:
                 rays_o, rays_d, jnp.asarray(settings.aabb, jnp.float32),
                 settings.min_near)
             res = render_rays(apply_fn, params, density_grid, rays_o,
-                              rays_d, nears, fars, settings)
+                              rays_d, nears, fars, settings,
+                              perturb_seed=perturb_seed)
             return res.rgb, res.depth, res.weight_sum
 
         if self.mesh is not None:
@@ -137,7 +139,8 @@ class NerfRender:
                                 use_fused=self._resolve_fused())
         return render
 
-    def render_frame_arrays(self, cam: Camera, pose: np.ndarray):
+    def render_frame_arrays(self, cam: Camera, pose: np.ndarray,
+                            perturb_seed: int = 0):
         """Device-side float render: (rgb [H*W,3], depth [H*W], wsum)."""
         if self.resolution is None:
             raise RuntimeError("call set_resolution first")
@@ -150,7 +153,53 @@ class NerfRender:
                                  jnp.float32)
         return self._render_fn(self.params, self.density_grid, cam_params,
                                jnp.asarray(new_pose[:3, :3]),
-                               jnp.asarray(new_pose[:3, 3]))
+                               jnp.asarray(new_pose[:3, 3]),
+                               jnp.int32(perturb_seed))
+
+    def render_frame_spp(self, cam: Camera, pose: np.ndarray, spp: int = 4,
+                         tonemap_curve: str = "Identity",
+                         output_color_space: str = "Linear"):
+        """Multi-sample render through the accumulation buffer.
+
+        Reference analog: CudaRenderBuffer spp accumulation + the
+        scrambled-Sobol pixel jitter used for DLSS prep
+        (render_buffer.cu:595-654, random_val.cuh:311-322). Each sample
+        re-renders with a per-sample stochastic march (perturb seed) and a
+        sub-pixel camera jitter, then accumulates. Returns the [H, W, 4]
+        tonemapped surface (float32).
+        """
+        import dataclasses
+
+        from nerf_tpu.buffer.render_buffer import RenderBuffer
+        from nerf_tpu.utils.sampling import ld_random_pixel_offset
+
+        w, h = self.resolution
+        buf = RenderBuffer((w, h), tonemap_curve=tonemap_curve,
+                           output_color_space=output_color_space)
+        base_settings = self.settings
+        try:
+            if not base_settings.perturb:
+                # one recompile to enable the stochastic-march branch; the
+                # per-sample seed is traced, so samples reuse the program
+                self.settings = dataclasses.replace(base_settings, perturb=1)
+                self._render_fn = None
+            for s in range(spp):
+                off = ld_random_pixel_offset(s) - 0.5
+                cam_j = Camera(fl_x=cam.fl_x, fl_y=cam.fl_y,
+                               cx=cam.cx - float(off[0]),
+                               cy=cam.cy - float(off[1]))
+                rgb, depth, wsum = self.render_frame_arrays(
+                    cam_j, pose, perturb_seed=s + 1)
+                frame = jnp.concatenate(
+                    [jnp.asarray(rgb).reshape(h, w, 3),
+                     jnp.asarray(wsum).reshape(h, w, 1)], -1)
+                buf.accumulate_frame(frame)
+                buf.set_depth(jnp.asarray(depth).reshape(h, w))
+        finally:
+            if self.settings is not base_settings:
+                self.settings = base_settings
+                self._render_fn = None
+        return buf.tonemap_to_surface(clamp_output_color=True)
 
     def render_frame(self, cam: Camera, pose: np.ndarray) -> Image:
         """Full-frame render to uint8, reference main-path semantics

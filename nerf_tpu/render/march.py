@@ -69,7 +69,7 @@ def _mip_level(x_cf, cascade: int):
 
 
 def _march_round(t, alive, rays_o, rays_d, far, density_grid,
-                 s: RenderSettings, round_idx=None):
+                 s: RenderSettings, round_idx=None, perturb_seed=None):
     """One round of sample generation for all rays (channel-first).
 
     rays_o/rays_d: [3, N]. Returns (t_new [N], smp_xyz [3, S, N],
@@ -91,8 +91,10 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
 
     if s.perturb and round_idx is not None:
         # per-round stochastic start jitter (render_utils.h:586-589; the
-        # reference seeds pcg32(ray, perturb) each march call)
-        key = jax.random.fold_in(jax.random.PRNGKey(s.perturb), round_idx)
+        # reference seeds pcg32(ray, perturb) each march call). The seed is
+        # traced so spp accumulation varies it without recompiling.
+        seed = jnp.int32(s.perturb) if perturb_seed is None else perturb_seed
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), round_idx)
         t = t + jnp.float32(MIN_STEPSIZE) \
             * jax.random.uniform(key, t.shape)
 
@@ -209,7 +211,8 @@ def _composite_round(smp_rgb, smp_sigma, smp_dt, smp_rd, emit, t_round_start,
 
 
 def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
-                  rays_d_cf, nears, fars, s: RenderSettings):
+                  rays_d_cf, nears, fars, s: RenderSettings,
+                  perturb_seed=None):
     """Render one chunk of rays; all channel-first. Returns
     (rgb [3, N], depth [N], weight_sum [N], rounds)."""
     n = nears.shape[0]
@@ -230,7 +233,8 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
     def body(st):
         t_new, sx, sdt, srd, emit = _march_round(
             st["t"], st["alive"], rays_o_cf, rays_d_cf, fars,
-            density_grid, s, round_idx=st["rounds"])
+            density_grid, s, round_idx=st["rounds"],
+            perturb_seed=perturb_seed)
 
         def eval_and_composite(op):
             sx, sdt, srd, emit, t0, w0, d0, rgb0 = op
@@ -283,7 +287,8 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
 def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
-                nears, fars, settings: RenderSettings) -> RenderResult:
+                nears, fars, settings: RenderSettings,
+                perturb_seed=None) -> RenderResult:
     """Render a batch of rays to (rgb, depth, weight_sum).
 
     apply_fn(params, pos01_cf [3,B], dir01_cf [3,B]) -> (rgb [3,B],
@@ -301,7 +306,7 @@ def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
     if n <= chunk:
         rgb, depth, wsum, rounds = _render_chunk(
             apply_fn, params, density_grid, rays_o_cf, rays_d_cf, nears,
-            fars, s)
+            fars, s, perturb_seed=perturb_seed)
         return RenderResult(rgb=rgb.T, depth=depth, weight_sum=wsum,
                             n_rounds=rounds)
 
@@ -316,13 +321,18 @@ def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
         fars = jnp.pad(fars, (0, n_pad), constant_values=_FLT_MAX)
 
     def one(chunk_in):
-        o, d, nr, fr = chunk_in
-        return _render_chunk(apply_fn, params, density_grid, o, d, nr, fr, s)
+        o, d, nr, fr, ci = chunk_in
+        seed = None
+        if perturb_seed is not None:
+            seed = perturb_seed + ci * jnp.int32(1315423911)
+        return _render_chunk(apply_fn, params, density_grid, o, d, nr, fr,
+                             s, perturb_seed=seed)
 
     xs = (rays_o_cf.reshape(3, n_chunks, chunk).transpose(1, 0, 2),
           rays_d_cf.reshape(3, n_chunks, chunk).transpose(1, 0, 2),
           nears.reshape(n_chunks, chunk),
-          fars.reshape(n_chunks, chunk))
+          fars.reshape(n_chunks, chunk),
+          jnp.arange(n_chunks, dtype=jnp.int32))
     rgb, depth, wsum, rounds = jax.lax.map(one, xs)
     rgb = rgb.transpose(1, 0, 2).reshape(3, n_chunks * chunk)[:, :n]
     depth = depth.reshape(-1)[:n]

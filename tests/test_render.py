@@ -281,3 +281,15 @@ def test_march_cascade2_matches_simulator():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(res.rgb), ref_rgb, rtol=3e-4,
                                atol=3e-4)
+
+
+def test_render_frame_spp():
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    eng = NerfRender(settings=RenderSettings(density_scale=8.0))
+    eng.load_from_snapshot(snap)
+    eng.set_resolution((16, 16))
+    surf = np.asarray(eng.render_frame_spp(CAM, NERF_POSE, spp=2))
+    assert surf.shape == (16, 16, 4)
+    assert np.all(np.isfinite(surf))
+    assert np.all((surf[..., :3] >= 0) & (surf[..., :3] <= 1))
