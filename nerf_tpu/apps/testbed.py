@@ -55,6 +55,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--density-scale", type=float, default=1.0)
     p.add_argument("--n-shards", type=int, default=0,
                    help="ray-shard over N devices (0 = single device)")
+    p.add_argument("--spp", type=int, default=0,
+                   help="accumulate N jittered samples per pixel")
+    p.add_argument("--tonemap", default="Identity",
+                   choices=("Identity", "ACES", "Hable", "Reinhard"))
+    p.add_argument("--dump-npy", action="store_true",
+                   help="dump raw float rgb/depth as .npy "
+                        "(ref main.cu:209-236 debug dumps)")
     return p
 
 
@@ -86,9 +93,24 @@ def main(argv=None) -> None:
 
     from PIL import Image as PILImage
 
-    PILImage.fromarray(img.rgb).save(args.out)
+    if args.spp > 0:
+        surf = np.asarray(eng.render_frame_spp(
+            cam, DEFAULT_POSE, spp=args.spp, tonemap_curve=args.tonemap))
+        img_rgb = np.asarray(np.clip(surf[..., :3] * 255.0, 0, 255),
+                             np.uint8)
+        PILImage.fromarray(img_rgb).save(args.out)
+    else:
+        PILImage.fromarray(img.rgb).save(args.out)
     PILImage.fromarray(img.depth).save(args.depth_out)
     print(f"[testbed] wrote {args.out}, {args.depth_out}")
+
+    if args.dump_npy:
+        from nerf_tpu.utils.npy import save_array_as_numpy
+
+        rgbf, depthf, _ = eng.render_frame_arrays(cam, DEFAULT_POSE)
+        save_array_as_numpy("image.npy", np.asarray(rgbf))
+        save_array_as_numpy("depth.npy", np.asarray(depthf))
+        print("[testbed] wrote image.npy, depth.npy")
 
     if not args.no_upsample:
         # DLSS branch of main.cu:171-206 — render buffer + 2x upsample.
