@@ -54,4 +54,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit a parseable record on failure
+        import sys
+
+        print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "render_rays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)
