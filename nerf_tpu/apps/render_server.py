@@ -84,6 +84,9 @@ def main(argv=None) -> None:
     p.add_argument("--n-shards", type=int, default=0)
     p.add_argument("--max-connections", type=int, default=-1,
                    help="exit after N connections (testing)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="render one frame at startup and print Mray/s "
+                        "(detects a slow-binary compile; see BASELINE.md)")
     args = p.parse_args(argv)
 
     mesh = None
@@ -96,6 +99,18 @@ def main(argv=None) -> None:
     engine.reload_network_from_file(args.snapshot)
     engine.set_resolution((args.width, args.height))
     cam = Camera(fl_x=args.fl_x, fl_y=args.fl_y, cx=args.cx, cy=args.cy)
+    if args.calibrate:
+        import time as _time
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 6.0
+        engine.render_frame(cam, pose)  # compile
+        t0 = _time.perf_counter()
+        engine.render_frame(cam, pose)
+        dt = _time.perf_counter() - t0
+        print(f"[render_server] calibration: {dt * 1000:.1f} ms/frame "
+              f"({args.width * args.height / dt / 1e6:.2f} Mray/s)",
+              flush=True)
     serve(engine, cam, args.port, args.width, args.height,
           args.max_connections)
 
