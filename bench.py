@@ -10,10 +10,12 @@ BASELINE.md):
     reported;
   - the rendered frame is VALIDATED (center rays hit the occupied sphere,
     corner rays miss) before a measurement is accepted;
-  - the remote compiler nondeterministically emits pathologically slow
-    binaries; on detecting one the bench re-rolls the compile with a
-    semantically-neutral settings tweak (new cache key) and keeps the
-    best validated result.
+  - the remote compiler sometimes emits pathologically slow binaries
+    (short-circuited compiles and every cache-loaded executable measured
+    ~10^4x slow; full-length fresh compiles measured fast); the bench
+    compiles fresh, and on detecting a slow binary re-rolls the compile
+    with a semantically-neutral settings tweak, keeping the best
+    validated result.
 """
 from __future__ import annotations
 
@@ -54,10 +56,11 @@ def _measure(eng, cam, pose, w, h, n_frames=5):
 
 
 def main():
-    from nerf_tpu.utils.compile_cache import enable as enable_cache
-
-    enable_cache()
-
+    # NOTE: the persistent compilation cache is deliberately NOT enabled —
+    # in this environment every cache-loaded executable has measured
+    # pathologically slow (the relay appears to deoptimize deserialized
+    # binaries), while fresh full-length compiles measure fast. Fresh
+    # compiles only, with re-roll.
     from nerf_tpu.core.snapshot import make_synthetic_snapshot
     from nerf_tpu.core.types import Camera, RenderSettings
     from nerf_tpu.render.engine import NerfRender
