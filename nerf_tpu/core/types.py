@@ -70,6 +70,11 @@ class RenderSettings:
     # rays per lax.map chunk — bounds HBM (analog of the reference's
     # per-GPU buffer sizing, nerf_render.cu:186-236)
     ray_chunk: int = 65536
+    # drive the round loop from the host (one small jitted program per
+    # round + per-round liveness readback, like nerf_render.cu:269-338)
+    # instead of one whole-frame device program. See BASELINE.md for why
+    # this environment prefers it.
+    host_loop: bool = False
     aabb: Tuple[float, float, float, float, float, float] = (
         -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
     )

@@ -119,6 +119,30 @@ class NerfRender:
             def apply_fn(params, pos01_cf, dir01_cf):
                 return net.apply_cf(params, pos01_cf, dir01_cf)
 
+        if settings.host_loop and self.mesh is None:
+            from nerf_tpu.render.march import render_rays_hostloop
+
+            @functools.partial(jax.jit, static_argnames=())
+            def gen(cam_params, rotation, origin):
+                cam = Camera(fl_x=cam_params[0], fl_y=cam_params[1],
+                             cx=cam_params[2], cy=cam_params[3])
+                rays_o, rays_d = generate_rays(cam, rotation, origin, w, h)
+                nears, fars = near_far_from_aabb(
+                    rays_o, rays_d, jnp.asarray(settings.aabb, jnp.float32),
+                    settings.min_near)
+                return rays_o, rays_d, nears, fars
+
+            def render(params, density_grid, cam_params, rotation, origin,
+                       perturb_seed):
+                rays_o, rays_d, nears, fars = gen(cam_params, rotation,
+                                                  origin)
+                res = render_rays_hostloop(
+                    apply_fn, params, density_grid, rays_o, rays_d, nears,
+                    fars, settings, perturb_seed=perturb_seed)
+                return res.rgb, res.depth, res.weight_sum
+
+            return render
+
         @functools.partial(jax.jit, static_argnames=())
         def render(params, density_grid, cam_params, rotation, origin,
                    perturb_seed):

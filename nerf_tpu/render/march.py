@@ -285,6 +285,121 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
 _FLT_MAX = jnp.float32(3.4028235e38)
 
 
+# ---------------------------------------------------------------------------
+# Host-driven round loop.
+#
+# Functionally identical to the on-device while_loop path below, but each
+# march round is its own small jitted program and the loop + liveness check
+# run on the host — the structure of the reference's render loop
+# (nerf_render.cu:269-338, including its per-iteration alive-counter
+# readback :288-292). Exists because this environment's remote TPU compiler
+# reliably deoptimizes the large whole-frame program while compiling
+# round-sized programs well (see BASELINE.md); the host sync costs ~ms per
+# round, negligible against a 10^4x binary-quality gap.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
+def _round_step(apply_fn: Callable, params, density_grid, rays_o_cf,
+                rays_d_cf, fars, t, alive, weight_sum, depth, rgb,
+                round_idx, perturb_seed, settings: RenderSettings):
+    s = settings
+    n = t.shape[0]
+    bound = jnp.float32(s.bound)
+
+    t_new, sx, sdt, srd, emit = _march_round(
+        t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s,
+        round_idx=round_idx, perturb_seed=perturb_seed)
+
+    def eval_and_composite(op):
+        sx, sdt, srd, emit, t0, w0, d0, rgb0 = op
+        S = s.samples_per_round
+        pos01 = sx.reshape(3, S * n) / (2.0 * bound) + 0.5
+        dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                                 (3, S, n)).reshape(3, S * n)
+        rgb_s, sigma_s = apply_fn(params, pos01, dir01)
+        if s.density_scale != 1.0:
+            sigma_s = sigma_s * jnp.float32(s.density_scale)
+        return _composite_round(rgb_s.reshape(3, S, n),
+                                sigma_s.reshape(S, n), sdt, srd, emit, t0,
+                                w0, d0, rgb0)
+
+    def no_samples(op):
+        _, _, _, _, _, w0, d0, rgb0 = op
+        return w0, d0, rgb0, jnp.zeros(n, bool)
+
+    w_sum, d, racc, term = jax.lax.cond(
+        jnp.any(emit > 0), eval_and_composite, no_samples,
+        (sx, sdt, srd, emit, t, weight_sum, depth, rgb))
+    alive_new = alive & ~term & (t_new < fars)
+    return t_new, alive_new, w_sum, d, racc, jnp.any(alive_new)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _finalize_chunk(weight_sum, depth, nears, fars,
+                    settings: RenderSettings):
+    rgb_bias = (1.0 - weight_sum) * jnp.float32(settings.bg_color)
+    span = fars - nears
+    d = jnp.where(span > 0,
+                  jnp.maximum(depth - nears, 0.0)
+                  / jnp.where(span > 0, span, 1.0), 0.0)
+    return rgb_bias, d
+
+
+def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
+                         rays_d, nears, fars, settings: RenderSettings,
+                         perturb_seed=None) -> RenderResult:
+    """Host-looped equivalent of render_rays (single device)."""
+    s = settings
+    n_total = rays_o.shape[0]
+    chunk = min(s.ray_chunk, n_total)
+    seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
+        perturb_seed, jnp.int32)
+
+    out_rgb, out_depth, out_wsum = [], [], []
+    max_rounds_seen = 0
+    for start in range(0, n_total, chunk):
+        end = min(start + chunk, n_total)
+        n = end - start
+        pad = chunk - n
+        o_cf = rays_o[start:end].T
+        d_cf = rays_d[start:end].T
+        nr = nears[start:end]
+        fr = fars[start:end]
+        if pad:
+            o_cf = jnp.pad(o_cf, ((0, 0), (0, pad)))
+            d_cf = jnp.pad(d_cf, ((0, 0), (0, pad)), constant_values=1.0)
+            nr = jnp.pad(nr, (0, pad), constant_values=_FLT_MAX)
+            fr = jnp.pad(fr, (0, pad), constant_values=_FLT_MAX)
+
+        t = nr
+        alive = nr < fr
+        w_sum = jnp.zeros((chunk,), jnp.float32)
+        depth = jnp.zeros((chunk,), jnp.float32)
+        rgb = jnp.zeros((3, chunk), jnp.float32)
+        rounds = 0
+        while rounds < s.max_rounds:
+            t, alive, w_sum, depth, rgb, any_alive = _round_step(
+                apply_fn, params, density_grid, o_cf, d_cf, fr, t, alive,
+                w_sum, depth, rgb, jnp.int32(rounds),
+                seed0 + jnp.int32(((start // chunk) * 1315423911)
+                                  & 0x7FFFFFFF), settings)
+            rounds += 1
+            if not bool(any_alive):  # host sync, as nerf_render.cu:288-292
+                break
+        max_rounds_seen = max(max_rounds_seen, rounds)
+
+        rgb_bias, dd = _finalize_chunk(w_sum, depth, nr, fr, settings)
+        out_rgb.append((rgb + rgb_bias[None, :])[:, :n])
+        out_depth.append(dd[:n])
+        out_wsum.append(w_sum[:n])
+
+    rgb = jnp.concatenate(out_rgb, axis=1)
+    return RenderResult(rgb=rgb.T,
+                        depth=jnp.concatenate(out_depth),
+                        weight_sum=jnp.concatenate(out_wsum),
+                        n_rounds=jnp.int32(max_rounds_seen))
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
 def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
                 nears, fars, settings: RenderSettings,

@@ -293,3 +293,54 @@ def test_render_frame_spp():
     assert surf.shape == (16, 16, 4)
     assert np.all(np.isfinite(surf))
     assert np.all((surf[..., :3] >= 0) & (surf[..., :3] <= 1))
+
+
+def test_hostloop_matches_device_loop():
+    """The host-driven round loop must match the on-device while_loop."""
+    import dataclasses
+
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, 0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    dev = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+    host = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                nears, fars,
+                                dataclasses.replace(settings, ray_chunk=100))
+    np.testing.assert_allclose(np.asarray(host.rgb), np.asarray(dev.rgb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.weight_sum),
+                               np.asarray(dev.weight_sum), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.depth),
+                               np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_hostloop_mode():
+    import dataclasses
+
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    eng = NerfRender(settings=RenderSettings(density_scale=8.0,
+                                             host_loop=True))
+    eng.load_from_snapshot(snap)
+    eng.set_resolution((16, 16))
+    rgb_h, _, w_h = eng.render_frame_arrays(CAM, NERF_POSE)
+
+    eng2 = NerfRender(settings=RenderSettings(density_scale=8.0))
+    eng2.load_from_snapshot(snap)
+    eng2.set_resolution((16, 16))
+    rgb_d, _, w_d = eng2.render_frame_arrays(CAM, NERF_POSE)
+    np.testing.assert_allclose(np.asarray(rgb_h), np.asarray(rgb_d),
+                               rtol=1e-5, atol=1e-5)
