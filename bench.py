@@ -73,8 +73,13 @@ def main():
 
     best = 0.0
     for attempt in range(MAX_ATTEMPTS):
+        # host-looped rounds first: small per-round programs compile
+        # reliably well here (the whole-frame device program is what the
+        # remote compiler deoptimizes). The cap value is semantically
+        # irrelevant; varying it re-rolls the compile.
         settings = RenderSettings(density_scale=25.0,
-                                  skip_iters=514 - attempt)
+                                  skip_iters=514 - attempt,
+                                  host_loop=(attempt < 2))
         eng = NerfRender(settings=settings)
         eng.load_from_snapshot(snap)
         eng.set_resolution((w, h))
