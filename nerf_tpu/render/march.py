@@ -298,40 +298,75 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 # round, negligible against a 10^4x binary-quality gap.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
-def _round_step(apply_fn: Callable, params, density_grid, rays_o_cf,
-                rays_d_cf, fars, t, alive, weight_sum, depth, rgb,
-                round_idx, perturb_seed, settings: RenderSettings):
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
+                 round_idx, perturb_seed, settings: RenderSettings):
+    """March one round and COMPACT the emitted samples to the front.
+
+    Returns (t_new, emit, pos01 [3, S*N] compacted, dir01 [3, S*N]
+    compacted, sdt, srd, n_valid) — the reference's kernel_compact_rays
+    idea (render_utils.h:394-415) applied to the sample batch: the
+    network then runs on a bucket-sized prefix instead of all S*N lanes.
+    """
     s = settings
     n = t.shape[0]
+    S = s.samples_per_round
+    ns = S * n
     bound = jnp.float32(s.bound)
 
     t_new, sx, sdt, srd, emit = _march_round(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s,
         round_idx=round_idx, perturb_seed=perturb_seed)
 
-    def eval_and_composite(op):
-        sx, sdt, srd, emit, t0, w0, d0, rgb0 = op
-        S = s.samples_per_round
-        pos01 = sx.reshape(3, S * n) / (2.0 * bound) + 0.5
-        dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
-                                 (3, S, n)).reshape(3, S * n)
-        rgb_s, sigma_s = apply_fn(params, pos01, dir01)
-        if s.density_scale != 1.0:
-            sigma_s = sigma_s * jnp.float32(s.density_scale)
-        return _composite_round(rgb_s.reshape(3, S, n),
-                                sigma_s.reshape(S, n), sdt, srd, emit, t0,
-                                w0, d0, rgb0)
+    pos01 = sx.reshape(3, ns) / (2.0 * bound) + 0.5
+    dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                             (3, S, n)).reshape(3, ns)
 
-    def no_samples(op):
-        _, _, _, _, _, w0, d0, rgb0 = op
-        return w0, d0, rgb0, jnp.zeros(n, bool)
+    slot_iota = jnp.arange(S, dtype=jnp.int32)
+    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
+    # stable compaction permutation via cumsum + drop-scatter
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_valid = jnp.maximum(dest[-1] + 1, 0)
+    src = jnp.arange(ns, dtype=jnp.int32)
+    comp = jnp.zeros((ns,), jnp.int32).at[
+        jnp.where(valid, dest, ns)].set(src, mode="drop")
+    pos01_c = pos01[:, comp]
+    dir01_c = dir01[:, comp]
+    return t_new, emit, pos01_c, dir01_c, sdt, srd, n_valid
 
-    w_sum, d, racc, term = jax.lax.cond(
-        jnp.any(emit > 0), eval_and_composite, no_samples,
-        (sx, sdt, srd, emit, t, weight_sum, depth, rgb))
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _eval_bucket(apply_fn: Callable, params, pos01_c, dir01_c):
+    """Network on a compacted, bucket-sized batch: [3, K] -> ([3,K], [K])."""
+    return apply_fn(params, pos01_c, dir01_c)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _round_composite(rgb_k, sigma_k, emit, sdt, srd, t, alive, weight_sum,
+                     depth, rgb, fars, t_new, settings: RenderSettings):
+    """Un-compact network outputs and composite; returns new ray state."""
+    s = settings
+    n = t.shape[0]
+    S = s.samples_per_round
+    ns = S * n
+    k = sigma_k.shape[0]
+
+    if s.density_scale != 1.0:
+        sigma_k = sigma_k * jnp.float32(s.density_scale)
+    # pad bucket results back to the full lane count, then un-compact:
+    # compacted index of lane i is cumsum(valid)[i]-1 (same dest as the
+    # march computed)
+    slot_iota = jnp.arange(S, dtype=jnp.int32)
+    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest_c = jnp.clip(dest, 0, k - 1)
+    sigma = jnp.where(valid, sigma_k[dest_c], 0.0).reshape(S, n)
+    rgb_s = jnp.where(valid[None, :], rgb_k[:, dest_c], 0.0).reshape(3, S, n)
+
+    w_sum, d, racc, term = _composite_round(
+        rgb_s, sigma, sdt, srd, emit, t, weight_sum, depth, rgb)
     alive_new = alive & ~term & (t_new < fars)
-    return t_new, alive_new, w_sum, d, racc, jnp.any(alive_new)
+    return w_sum, d, racc, alive_new, jnp.any(alive_new)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -345,13 +380,37 @@ def _finalize_chunk(weight_sum, depth, nears, fars,
     return rgb_bias, d
 
 
+def _bucket_sizes(ns: int):
+    """Static network batch sizes: ns, ns/4, ns/16, ..., down to 1024."""
+    sizes = []
+    k = ns
+    while k >= 1024:
+        sizes.append(k)
+        k //= 4
+    return sizes or [ns]
+
+
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          rays_d, nears, fars, settings: RenderSettings,
                          perturb_seed=None) -> RenderResult:
-    """Host-looped equivalent of render_rays (single device)."""
+    """Host-looped equivalent of render_rays (single device).
+
+    Each round: (1) march + sample compaction on device, (2) the host
+    reads the valid-sample count (the analog of the reference's
+    alive-counter readback, nerf_render.cu:288-292) and picks the
+    smallest static bucket that fits, (3) the network runs on just that
+    bucket (jit re-specializes per size), (4) un-compact + composite.
+    Late rounds evaluate a tiny fraction of the S*N lanes instead of all
+    of them — the reference's compaction win, recovered with static
+    shapes.
+    """
+    import numpy as _np
+
     s = settings
     n_total = rays_o.shape[0]
     chunk = min(s.ray_chunk, n_total)
+    ns = s.samples_per_round * chunk
+    sizes = _bucket_sizes(ns)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
 
@@ -376,15 +435,29 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         w_sum = jnp.zeros((chunk,), jnp.float32)
         depth = jnp.zeros((chunk,), jnp.float32)
         rgb = jnp.zeros((3, chunk), jnp.float32)
+        seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
+                                   & 0x7FFFFFFF)
         rounds = 0
         while rounds < s.max_rounds:
-            t, alive, w_sum, depth, rgb, any_alive = _round_step(
-                apply_fn, params, density_grid, o_cf, d_cf, fr, t, alive,
-                w_sum, depth, rgb, jnp.int32(rounds),
-                seed0 + jnp.int32(((start // chunk) * 1315423911)
-                                  & 0x7FFFFFFF), settings)
+            t_new, emit, pos_c, dir_c, sdt, srd, n_valid = _round_march(
+                density_grid, o_cf, d_cf, fr, t, alive, jnp.int32(rounds),
+                seed_c, s)
+            k = int(_np.asarray(n_valid))  # host readback
+            if k > 0:
+                size = next((sz for sz in reversed(sizes) if sz >= k),
+                            sizes[0])
+                rgb_k, sigma_k = _eval_bucket(apply_fn, params,
+                                              pos_c[:, :size],
+                                              dir_c[:, :size])
+                w_sum, depth, rgb, alive, any_alive = _round_composite(
+                    rgb_k, sigma_k, emit, sdt, srd, t, alive, w_sum, depth,
+                    rgb, fr, t_new, s)
+            else:
+                alive = alive & (t_new < fr)
+                any_alive = jnp.any(alive)
+            t = t_new
             rounds += 1
-            if not bool(any_alive):  # host sync, as nerf_render.cu:288-292
+            if not bool(_np.asarray(any_alive)):
                 break
         max_rounds_seen = max(max_rounds_seen, rounds)
 
