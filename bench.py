@@ -44,13 +44,16 @@ def _validate(eng, cam, pose, w, h) -> bool:
 
 
 def _measure(eng, cam, pose, w, h, n_frames=5):
-    import jax
+    import jax.numpy as jnp
 
     times = []
     for _ in range(n_frames):
         t0 = time.perf_counter()
         out = eng.render_frame_arrays(cam, pose)
-        jax.block_until_ready(out)
+        # block_until_ready is ASYNC through this environment's relay
+        # (returns in us while the device runs seconds) — only a forced
+        # host read guarantees completion. Costs one ~26ms RTT per frame.
+        float(np.asarray(jnp.sum(out[2])))
         times.append(time.perf_counter() - t0)
     return w * h / float(np.median(times))
 
