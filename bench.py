@@ -59,11 +59,10 @@ def _measure(eng, cam, pose, w, h, n_frames=5):
 
 
 def main():
-    # NOTE: the persistent compilation cache is deliberately NOT enabled —
-    # in this environment every cache-loaded executable has measured
-    # pathologically slow (the relay appears to deoptimize deserialized
-    # binaries), while fresh full-length compiles measure fast. Fresh
-    # compiles only, with re-roll.
+    from nerf_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()  # safe (earlier suspicion was an async-timing artifact)
+
     from nerf_tpu.core.snapshot import make_synthetic_snapshot
     from nerf_tpu.core.types import Camera, RenderSettings
     from nerf_tpu.render.engine import NerfRender
