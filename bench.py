@@ -25,8 +25,8 @@ import time
 
 import numpy as np
 
-SLOW_THRESHOLD_RAYS_PER_SEC = 2e6
-MAX_ATTEMPTS = 3
+SLOW_THRESHOLD_RAYS_PER_SEC = 5e4
+MAX_ATTEMPTS = 2
 
 
 def _validate(eng, cam, pose, w, h) -> bool:
@@ -75,13 +75,13 @@ def main():
 
     best = 0.0
     for attempt in range(MAX_ATTEMPTS):
-        # host-looped rounds first: small per-round programs compile
-        # reliably well here (the whole-frame device program is what the
-        # remote compiler deoptimizes). The cap value is semantically
-        # irrelevant; varying it re-rolls the compile.
+        # host-looped renderer first: adaptive num_step + bucketed sample
+        # compaction (reference schedule, nerf_render.cu:300) — the device
+        # while_loop path is the fallback
         settings = RenderSettings(density_scale=25.0,
-                                  skip_iters=514 - attempt,
-                                  host_loop=(attempt < 2))
+                                  probes_per_round=32,
+                                  ray_chunk=131072,
+                                  host_loop=(attempt == 0))
         eng = NerfRender(settings=settings)
         eng.load_from_snapshot(snap)
         eng.set_resolution((w, h))

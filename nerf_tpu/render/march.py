@@ -69,15 +69,19 @@ def _mip_level(x_cf, cascade: int):
 
 
 def _march_round(t, alive, rays_o, rays_d, far, density_grid,
-                 s: RenderSettings, round_idx=None, perturb_seed=None):
+                 s: RenderSettings, round_idx=None, perturb_seed=None,
+                 s_round=None):
     """One round of sample generation for all rays (channel-first).
 
     rays_o/rays_d: [3, N]. Returns (t_new [N], smp_xyz [3, S, N],
     smp_dt [S, N], smp_rd [S, N], emit [N]).
     Mirrors kernel_march_rays (render_utils.h:524-655) vectorized over rays.
+    s_round statically overrides samples_per_round (the reference's
+    adaptive num_step, nerf_render.cu:300).
     """
     n = t.shape[0]
-    S, P = s.samples_per_round, s.probes_per_round
+    S = s_round if s_round is not None else s.samples_per_round
+    P = s.probes_per_round
     h = s.grid_h
     bound = jnp.float32(s.bound)
     dt_gamma = jnp.float32(s.dt_gamma)
@@ -298,9 +302,10 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 # round, negligible against a 10^4x binary-quality gap.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "s_round"))
 def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
-                 round_idx, perturb_seed, settings: RenderSettings):
+                 round_idx, perturb_seed, settings: RenderSettings,
+                 s_round: int = None):
     """March one round and COMPACT the emitted samples to the front.
 
     Returns (t_new, emit, pos01 [3, S*N] compacted, dir01 [3, S*N]
@@ -310,13 +315,13 @@ def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
     """
     s = settings
     n = t.shape[0]
-    S = s.samples_per_round
+    S = s_round if s_round is not None else s.samples_per_round
     ns = S * n
     bound = jnp.float32(s.bound)
 
     t_new, sx, sdt, srd, emit = _march_round(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s,
-        round_idx=round_idx, perturb_seed=perturb_seed)
+        round_idx=round_idx, perturb_seed=perturb_seed, s_round=S)
 
     pos01 = sx.reshape(3, ns) / (2.0 * bound) + 0.5
     dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
@@ -347,7 +352,7 @@ def _round_composite(rgb_k, sigma_k, emit, sdt, srd, t, alive, weight_sum,
     """Un-compact network outputs and composite; returns new ray state."""
     s = settings
     n = t.shape[0]
-    S = s.samples_per_round
+    S = sdt.shape[0]
     ns = S * n
     k = sigma_k.shape[0]
 
@@ -366,7 +371,7 @@ def _round_composite(rgb_k, sigma_k, emit, sdt, srd, t, alive, weight_sum,
     w_sum, d, racc, term = _composite_round(
         rgb_s, sigma, sdt, srd, emit, t, weight_sum, depth, rgb)
     alive_new = alive & ~term & (t_new < fars)
-    return w_sum, d, racc, alive_new, jnp.any(alive_new)
+    return w_sum, d, racc, alive_new, jnp.sum(alive_new.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -380,14 +385,14 @@ def _finalize_chunk(weight_sum, depth, nears, fars,
     return rgb_bias, d
 
 
+_ABS_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
+
+
 def _bucket_sizes(ns: int):
-    """Static network batch sizes: ns, ns/4, ns/16, ..., down to 1024."""
-    sizes = []
-    k = ns
-    while k >= 1024:
-        sizes.append(k)
-        k //= 4
-    return sizes or [ns]
+    """Static network batch sizes <= ns (absolute, shared across round-S
+    variants so jit specializations are reused)."""
+    sizes = [b for b in _ABS_BUCKETS if b < ns] + [ns]
+    return sizes
 
 
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
@@ -409,10 +414,9 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     s = settings
     n_total = rays_o.shape[0]
     chunk = min(s.ray_chunk, n_total)
-    ns = s.samples_per_round * chunk
-    sizes = _bucket_sizes(ns)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
+    s_max = s.samples_per_round
 
     out_rgb, out_depth, out_wsum = [], [], []
     max_rounds_seen = 0
@@ -432,33 +436,40 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
 
         t = nr
         alive = nr < fr
+        n_alive = int(_np.asarray(jnp.sum(alive.astype(jnp.int32))))
         w_sum = jnp.zeros((chunk,), jnp.float32)
         depth = jnp.zeros((chunk,), jnp.float32)
         rgb = jnp.zeros((3, chunk), jnp.float32)
         seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
                                    & 0x7FFFFFFF)
         rounds = 0
-        while rounds < s.max_rounds:
+        total_steps = 0
+        while total_steps < s.max_infer_steps and n_alive > 0:
+            # the reference's adaptive num_step = clamp(N/num_alive, 1, 8)
+            # (nerf_render.cu:300), rounded down to a power of two so jit
+            # specializations stay bounded
+            s_round = min(s_max, max(1, chunk // max(n_alive, 1)))
+            s_round = 1 << (s_round.bit_length() - 1)
             t_new, emit, pos_c, dir_c, sdt, srd, n_valid = _round_march(
                 density_grid, o_cf, d_cf, fr, t, alive, jnp.int32(rounds),
-                seed_c, s)
+                seed_c, s, s_round=s_round)
             k = int(_np.asarray(n_valid))  # host readback
             if k > 0:
-                size = next((sz for sz in reversed(sizes) if sz >= k),
-                            sizes[0])
+                sizes = _bucket_sizes(s_round * chunk)
+                size = next((sz for sz in sizes if sz >= k), sizes[-1])
                 rgb_k, sigma_k = _eval_bucket(apply_fn, params,
                                               pos_c[:, :size],
                                               dir_c[:, :size])
-                w_sum, depth, rgb, alive, any_alive = _round_composite(
+                w_sum, depth, rgb, alive, n_alive_dev = _round_composite(
                     rgb_k, sigma_k, emit, sdt, srd, t, alive, w_sum, depth,
                     rgb, fr, t_new, s)
+                n_alive = int(_np.asarray(n_alive_dev))
             else:
                 alive = alive & (t_new < fr)
-                any_alive = jnp.any(alive)
+                n_alive = int(_np.asarray(jnp.sum(alive.astype(jnp.int32))))
             t = t_new
             rounds += 1
-            if not bool(_np.asarray(any_alive)):
-                break
+            total_steps += s_round
         max_rounds_seen = max(max_rounds_seen, rounds)
 
         rgb_bias, dd = _finalize_chunk(w_sum, depth, nr, fr, settings)
