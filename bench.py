@@ -6,16 +6,14 @@ per chip; vs_baseline = measured rays/s per chip / 25e6.
 
 Methodology notes (this environment measures treacherously — see
 BASELINE.md):
-  - every frame is individually block_until_ready'd; the median of 5 is
-    reported;
+  - jax.block_until_ready is ASYNC through the relay, so every frame's
+    timing is forced by a host read of a reduced scalar; the median of 5
+    is reported;
   - the rendered frame is VALIDATED (center rays hit the occupied sphere,
     corner rays miss) before a measurement is accepted;
-  - the remote compiler sometimes emits pathologically slow binaries
-    (short-circuited compiles and every cache-loaded executable measured
-    ~10^4x slow; full-length fresh compiles measured fast); the bench
-    compiles fresh, and on detecting a slow binary re-rolls the compile
-    with a semantically-neutral settings tweak, keeping the best
-    validated result.
+  - attempt 0 uses the host-looped renderer (adaptive num_step + bucketed
+    sample compaction); the on-device while_loop renderer is the
+    fallback attempt.
 """
 from __future__ import annotations
 
