@@ -109,6 +109,36 @@ class NerfNetwork:
     def pack_params(self, tree: Dict[str, jnp.ndarray]):
         return jnp.concatenate([tree[name] for name, _ in self._sections])
 
+    def initialize_constant(self, value: float = 1.0 / 32.0
+                            ) -> Dict[str, jnp.ndarray]:
+        """Constant-fill init (initialize_xavier_uniform's actual body,
+        nerf_network.h:322-336 — the reference fills with 1/32)."""
+        return self.unpack_params(
+            jnp.full((self.n_params,), value, jnp.float32))
+
+    def hyperparams(self) -> Dict:
+        """Config echo (nerf_network.h:411-422)."""
+        return {
+            "otype": "NerfNetwork",
+            "pos_encoding": {
+                "otype": type(self.pos_encoding).__name__,
+                "n_output_dims": self.pos_encoding.padded_output_dim,
+            },
+            "dir_encoding": {
+                "otype": type(self.dir_encoding).__name__,
+                "n_output_dims": self.dir_encoding.padded_output_dim,
+            },
+            "density_network": {
+                "n_neurons": self.density_network.width,
+                "n_hidden_layers": self.density_network.n_hidden_layers,
+                "n_output_dims": self.density_network.padded_output_width,
+            },
+            "rgb_network": {
+                "n_neurons": self.rgb_network.width,
+                "n_hidden_layers": self.rgb_network.n_hidden_layers,
+            },
+        }
+
     def init_params(self, key=None) -> Dict[str, jnp.ndarray]:
         if key is None:
             key = jax.random.PRNGKey(42)

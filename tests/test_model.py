@@ -110,3 +110,12 @@ def test_leading_batch_dims():
     rgb, sigma = net.apply(params, jnp.full((2, 5, 3), 0.4),
                            jnp.full((2, 5, 3), 0.6))
     assert rgb.shape == (2, 5, 3) and sigma.shape == (2, 5)
+
+
+def test_initialize_constant_and_hyperparams():
+    net = _net()
+    params = net.initialize_constant()
+    np.testing.assert_allclose(np.asarray(params["density_mlp"]), 1 / 32)
+    hp = net.hyperparams()
+    assert hp["otype"] == "NerfNetwork"
+    assert hp["density_network"]["n_output_dims"] == 16
