@@ -397,7 +397,7 @@ def _bucket_sizes(ns: int):
 
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          rays_d, nears, fars, settings: RenderSettings,
-                         perturb_seed=None) -> RenderResult:
+                         perturb_seed=None, stats=None) -> RenderResult:
     """Host-looped equivalent of render_rays (single device).
 
     Each round: (1) march + sample compaction on device, (2) the host
@@ -444,16 +444,19 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                                    & 0x7FFFFFFF)
         rounds = 0
         total_steps = 0
+        import time as _time
         while total_steps < s.max_infer_steps and n_alive > 0:
             # the reference's adaptive num_step = clamp(N/num_alive, 1, 8)
             # (nerf_render.cu:300), rounded down to a power of two so jit
             # specializations stay bounded
             s_round = min(s_max, max(1, chunk // max(n_alive, 1)))
             s_round = 1 << (s_round.bit_length() - 1)
+            t0 = _time.perf_counter()
             t_new, emit, pos_c, dir_c, sdt, srd, n_valid = _round_march(
                 density_grid, o_cf, d_cf, fr, t, alive, jnp.int32(rounds),
                 seed_c, s, s_round=s_round)
             k = int(_np.asarray(n_valid))  # host readback
+            t1 = _time.perf_counter()
             if k > 0:
                 sizes = _bucket_sizes(s_round * chunk)
                 size = next((sz for sz in sizes if sz >= k), sizes[-1])
@@ -467,6 +470,11 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             else:
                 alive = alive & (t_new < fr)
                 n_alive = int(_np.asarray(jnp.sum(alive.astype(jnp.int32))))
+            t2 = _time.perf_counter()
+            if stats is not None:
+                stats.setdefault("rounds", []).append(
+                    dict(s_round=s_round, k=k, n_alive=n_alive,
+                         march_s=t1 - t0, eval_comp_s=t2 - t1))
             t = t_new
             rounds += 1
             total_steps += s_round
