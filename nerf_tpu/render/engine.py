@@ -61,17 +61,17 @@ class NerfRender:
         self.load_from_snapshot(snap)
 
     def load_from_snapshot(self, snap: Snapshot) -> None:
-        # Preserve TPU-side knobs across snapshot loads.
-        s = self.settings
-        self.settings = RenderSettings(
+        # Only scene fields come from the snapshot; every TPU-side knob is
+        # preserved via replace (a field-list rewrite here once silently
+        # dropped host_loop).
+        import dataclasses
+
+        self.settings = dataclasses.replace(
+            self.settings,
             bound=snap.settings.bound, scale=snap.settings.scale,
             cascade=snap.settings.cascade, grid_h=snap.settings.grid_h,
-            mean_density=snap.settings.mean_density, aabb=snap.settings.aabb,
-            dt_gamma=s.dt_gamma, bg_color=s.bg_color, min_near=s.min_near,
-            density_scale=s.density_scale, max_infer_steps=s.max_infer_steps,
-            perturb=s.perturb, samples_per_round=s.samples_per_round,
-            probes_per_round=s.probes_per_round, skip_iters=s.skip_iters,
-            ray_chunk=s.ray_chunk,
+            mean_density=snap.settings.mean_density,
+            aabb=snap.settings.aabb,
         )
         self.reset_network(snap.config)
         flat = jnp.asarray(snap.params, jnp.float32)
