@@ -4,6 +4,17 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): >= 200M rays/s aggregate on v5e-8 => 25M rays/s
 per chip; vs_baseline = measured rays/s per chip / 25e6.
 
+Survivability design (round-1 bench died rc=124 with no output):
+  - the JSON line is emitted from an atexit hook, and SIGTERM/SIGINT are
+    converted to sys.exit so a driver timeout still yields the
+    best-so-far record;
+  - attempts run smallest-first (256x256 before 800x800) so a partial
+    run still produces a validated number;
+  - host-loop jit specializations are frozen (s_round in {1,8}, two
+    bucket sizes) and the persistent XLA compile cache lives IN THE REPO
+    (.xla_cache/, committed warm) so a cold container skips the ~minutes
+    remote compiles entirely.
+
 Methodology notes (this environment measures treacherously — see
 BASELINE.md):
   - jax.block_until_ready is ASYNC through the relay, so every frame's
@@ -11,20 +22,88 @@ BASELINE.md):
     is reported;
   - the rendered frame is VALIDATED (center rays hit the occupied sphere,
     corner rays miss) before a measurement is accepted;
-  - attempt 0 uses the host-looped renderer (adaptive num_step + bucketed
-    sample compaction); the on-device while_loop renderer is the
-    fallback attempt.
+  - the fused Pallas head is verified element-wise against the fp32
+    oracle in COMPILED mode before any timing is accepted
+    (tcnn inference parity, fully_fused_mlp.cu:700-714).
 """
 from __future__ import annotations
 
+import atexit
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
-SLOW_THRESHOLD_RAYS_PER_SEC = 5e4
-MAX_ATTEMPTS = 2
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("NERF_TPU_BENCH_BUDGET_S", "1500"))
+_STATE = {"best": 0.0, "emitted": False}
+
+
+def _emit():
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
+    best = _STATE["best"]
+    print(json.dumps({
+        "metric": "render_rays_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(best / 25e6, 4),
+    }), flush=True)
+
+
+def _on_signal(signum, frame):
+    print(f"[bench] caught signal {signum}, emitting best-so-far",
+          file=sys.stderr, flush=True)
+    sys.exit(1)  # unwinds through atexit -> _emit
+
+
+atexit.register(_emit)
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _verify_fused(eng) -> bool:
+    """Element-wise fused-vs-oracle check in COMPILED mode (VERDICT r1 #6).
+
+    A Mosaic lowering bug must not ship a timing: compare the fused Pallas
+    head against the fp32 oracle on the loaded params before measuring.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    net, params = eng.network, eng.params
+    if not net.fused_supported:
+        return True
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    pos = jax.random.uniform(k1, (3, 4096), jnp.float32)
+    d = jax.random.normal(k2, (3, 4096), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+    dir01 = d * 0.5 + 0.5
+    rgb_o, sig_o = jax.jit(net.apply_cf)(params, pos, dir01)
+    rgb_f, sig_f = jax.jit(net.apply_cf_fused)(params, pos, dir01)
+    rgb_o, sig_o = np.asarray(rgb_o), np.asarray(sig_o)
+    rgb_f, sig_f = np.asarray(rgb_f), np.asarray(sig_f)
+    # bf16 storage + fp32 accumulate vs fp32 oracle: tolerance scales with
+    # magnitude (sigma is exp-activated and can be large)
+    rgb_err = np.max(np.abs(rgb_f - rgb_o))
+    sig_rel = np.max(np.abs(sig_f - sig_o) / (np.abs(sig_o) + 1e-3))
+    ok = bool(np.isfinite(rgb_f).all() and np.isfinite(sig_f).all()
+              and rgb_err < 0.15 and sig_rel < 0.15)
+    print(f"[bench] fused-vs-oracle (compiled): rgb_err={rgb_err:.4f} "
+          f"sig_rel={sig_rel:.4f} -> {'OK' if ok else 'FAIL'}",
+          file=sys.stderr, flush=True)
+    return ok
 
 
 def _validate(eng, cam, pose, w, h) -> bool:
@@ -59,60 +138,64 @@ def _measure(eng, cam, pose, w, h, n_frames=5):
 def main():
     from nerf_tpu.utils.compile_cache import enable as enable_cache
 
-    enable_cache()  # safe (earlier suspicion was an async-timing artifact)
+    # repo-local cache: committed warm so the driver's cold container
+    # reuses this session's TPU binaries (identical HLO -> cache hit)
+    enable_cache(os.path.join(REPO_DIR, ".xla_cache"))
 
     from nerf_tpu.core.snapshot import make_synthetic_snapshot
     from nerf_tpu.core.types import Camera, RenderSettings
     from nerf_tpu.render.engine import NerfRender
 
-    w = h = 800
     snap = make_synthetic_snapshot(seed=3, grid_h=128)
-    cam = Camera(fl_x=1110.0, fl_y=1110.0, cx=w / 2, cy=h / 2)
     pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
                      [0, 0, 0, 1]], np.float32)
 
-    best = 0.0
-    for attempt in range(MAX_ATTEMPTS):
-        # host-looped renderer first: adaptive num_step + bucketed sample
-        # compaction (reference schedule, nerf_render.cu:300) — the device
-        # while_loop path is the fallback
-        settings = RenderSettings(density_scale=25.0,
-                                  probes_per_round=32,
-                                  ray_chunk=131072,
-                                  host_loop=(attempt == 0))
+    # smallest-first; each resolution shares the same bounded
+    # specialization set so later attempts reuse all compiled programs
+    resolutions = [(256, 256), (800, 800)]
+    settings = RenderSettings(density_scale=25.0,
+                              probes_per_round=32,
+                              ray_chunk=65536,
+                              s_round_set=(1, 8),
+                              bucket_set=(16384, 131072),
+                              host_loop=True)
+
+    fused_checked = False
+    for w, h in resolutions:
+        if _STATE["best"] > 0 and _remaining() < 300:
+            print(f"[bench] skipping {w}x{h}: {_remaining():.0f}s left",
+                  file=sys.stderr, flush=True)
+            break
+        cam = Camera(fl_x=w * 1.3875, fl_y=w * 1.3875, cx=w / 2, cy=h / 2)
         eng = NerfRender(settings=settings)
         eng.load_from_snapshot(snap)
         eng.set_resolution((w, h))
+        if not fused_checked:
+            if not _verify_fused(eng):
+                # fused numerics broken on this backend: bench the oracle
+                print("[bench] falling back to oracle (use_fused=False)",
+                      file=sys.stderr, flush=True)
+                eng = NerfRender(settings=settings, use_fused=False)
+                eng.load_from_snapshot(snap)
+                eng.set_resolution((w, h))
+            fused_checked = True
         t0 = time.perf_counter()
         if not _validate(eng, cam, pose, w, h):
             continue
         rays_per_sec = _measure(eng, cam, pose, w, h)
-        print(f"[bench] attempt {attempt}: {rays_per_sec / 1e6:.3f} Mray/s "
-              f"(wall {time.perf_counter() - t0:.0f}s)", file=sys.stderr)
-        best = max(best, rays_per_sec)
-        if best >= SLOW_THRESHOLD_RAYS_PER_SEC:
-            break
-        import jax
+        print(f"[bench] {w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
+              f"(wall {time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        _STATE["best"] = max(_STATE["best"], rays_per_sec)
 
-        jax.clear_caches()
-
-    print(json.dumps({
-        "metric": "render_rays_per_sec_per_chip",
-        "value": round(best, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(best / 25e6, 4),
-    }))
+    _emit()
 
 
 if __name__ == "__main__":
     try:
         main()
-    except Exception as e:  # still emit a parseable record on failure
+    except SystemExit:
+        raise
+    except Exception as e:  # atexit still emits a parseable record
         print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-        print(json.dumps({
-            "metric": "render_rays_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "rays/s",
-            "vs_baseline": 0.0,
-        }))
         raise SystemExit(1)

@@ -70,6 +70,15 @@ class RenderSettings:
     # rays per lax.map chunk — bounds HBM (analog of the reference's
     # per-GPU buffer sizing, nerf_render.cu:186-236)
     ray_chunk: int = 65536
+    # Bounds on host-loop jit specializations (cold-compile budget
+    # control): allowed adaptive num_step values (the reference's
+    # clamp(N/num_alive,1,8), nerf_render.cu:300, restricted to this set)
+    # and allowed static network bucket sizes. Empty = built-in defaults.
+    s_round_set: Tuple[int, ...] = (1, 2, 4, 8)
+    bucket_set: Tuple[int, ...] = ()
+    # allowed ray working-set sizes for cross-round ray compaction
+    # (empty = powers-of-8 ladder down from ray_chunk, floor 4096)
+    ray_bucket_set: Tuple[int, ...] = ()
     # drive the round loop from the host (one small jitted program per
     # round + per-round liveness readback, like nerf_render.cu:269-338)
     # instead of one whole-frame device program. See BASELINE.md for why

@@ -18,6 +18,7 @@ from nerf_tpu.encodings.basic import (
 from nerf_tpu.encodings.composite import CompositeEncoding
 from nerf_tpu.encodings.hashgrid import GridEncoding
 from nerf_tpu.encodings.spherical import SphericalHarmonicsEncoding
+from nerf_tpu.encodings.tpugrid import TpuGridEncoding
 
 _REGISTRY = {}
 
@@ -28,6 +29,7 @@ def register_encoding(name: str, cls) -> None:
 
 for _name in ("Grid", "HashGrid", "DenseGrid", "TiledGrid"):
     register_encoding(_name, GridEncoding)
+register_encoding("TpuGrid", TpuGridEncoding)
 register_encoding("SphericalHarmonics", SphericalHarmonicsEncoding)
 register_encoding("Identity", IdentityEncoding)
 register_encoding("Linear", IdentityEncoding)

@@ -14,8 +14,9 @@ Reference parity: tiny-cuda-nn `GridEncodingTemplated`
 
 TPU design: one flat parameter table [total_entries, F] in HBM; all levels
 gathered in a single batched `take` per corner (8 static-unrolled corners),
-interpolation fused by XLA on the VPU. A Pallas kernel with VMEM-resident
-coarse levels lives in nerf_tpu/ops/pallas (drop-in, same params).
+interpolation fused by XLA on the VPU. The gathers are the measured system
+bottleneck on v5e (BASELINE.md roofline); layout experiments (packed bf16
+pairs, per-level tables, wide-slice gathers) live in bench_gather.py.
 """
 from __future__ import annotations
 

@@ -305,13 +305,18 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 @functools.partial(jax.jit, static_argnames=("settings", "s_round"))
 def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
                  round_idx, perturb_seed, settings: RenderSettings,
-                 s_round: int = None):
+                 s_round: int = None, n_alive_in=None):
     """March one round and COMPACT the emitted samples to the front.
 
     Returns (t_new, emit, pos01 [3, S*N] compacted, dir01 [3, S*N]
-    compacted, sdt, srd, n_valid) — the reference's kernel_compact_rays
+    compacted, sdt, srd, counts) — the reference's kernel_compact_rays
     idea (render_utils.h:394-415) applied to the sample batch: the
     network then runs on a bucket-sized prefix instead of all S*N lanes.
+
+    counts is a stacked int32 [2] = (n_valid, n_alive_in): the previous
+    round's alive counter piggybacks on this round's readback so the host
+    pays ONE ~26ms RTT per round instead of two (the reference pays one,
+    nerf_render.cu:288-292).
     """
     s = settings
     n = t.shape[0]
@@ -337,7 +342,10 @@ def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
         jnp.where(valid, dest, ns)].set(src, mode="drop")
     pos01_c = pos01[:, comp]
     dir01_c = dir01[:, comp]
-    return t_new, emit, pos01_c, dir01_c, sdt, srd, n_valid
+    if n_alive_in is None:
+        n_alive_in = jnp.int32(-1)
+    counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
+    return t_new, emit, pos01_c, dir01_c, sdt, srd, counts
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn",))
@@ -375,6 +383,87 @@ def _round_composite(rgb_k, sigma_k, emit, sdt, srd, t, alive, weight_sum,
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
+def _round_composite_scatter(rgb_k, sigma_k, emit, sdt, srd, t, alive, orig,
+                             w_sum_full, depth_full, rgb_full, fars, t_new,
+                             settings: RenderSettings):
+    """Composite a COMPACTED ray working set into full-chunk accumulators.
+
+    The working set (size M <= chunk) holds only rays still marching;
+    `orig` [M] maps lanes back to original chunk slots (the reference's
+    rays_alive index array, render_utils.h:394-415). Transmittance needs
+    the accumulated weight so far, so w_sum is gathered at `orig`, deltas
+    are computed by the shared compositing scan, and all three
+    accumulators are scatter-added back. Padding lanes (alive=False)
+    emit zero samples, so their deltas are exact zeros.
+
+    Returns (w_sum_full, depth_full, rgb_full, alive_new [M],
+    n_alive [] device scalar — NOT read here; it piggybacks on the next
+    round's march readback).
+    """
+    s = settings
+    m = t.shape[0]
+    S = sdt.shape[0]
+    ns = S * m
+    k = sigma_k.shape[0]
+
+    if s.density_scale != 1.0:
+        sigma_k = sigma_k * jnp.float32(s.density_scale)
+    slot_iota = jnp.arange(S, dtype=jnp.int32)
+    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest_c = jnp.clip(dest, 0, k - 1)
+    sigma = jnp.where(valid, sigma_k[dest_c], 0.0).reshape(S, m)
+    rgb_s = jnp.where(valid[None, :], rgb_k[:, dest_c], 0.0).reshape(3, S, m)
+
+    ws0 = w_sum_full[orig]
+    w_new, d_delta, rgb_delta, term = _composite_round(
+        rgb_s, sigma, sdt, srd, emit, t, ws0,
+        jnp.zeros((m,), jnp.float32), jnp.zeros((3, m), jnp.float32))
+    live = alive.astype(jnp.float32)
+    w_sum_full = w_sum_full.at[orig].add((w_new - ws0) * live)
+    depth_full = depth_full.at[orig].add(d_delta * live)
+    rgb_full = rgb_full.at[:, orig].add(rgb_delta * live[None, :])
+    alive_new = alive & ~term & (t_new < fars)
+    return (w_sum_full, depth_full, rgb_full, alive_new,
+            jnp.sum(alive_new.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("m_out",))
+def _compact_rays(alive, t, o_cf, d_cf, fars, orig, m_out: int):
+    """Compact alive rays to an m_out-sized prefix (the reference's
+    kernel_compact_rays, render_utils.h:394-415, with a static-shape
+    cumsum permutation instead of atomicAdd slots).
+
+    Caller guarantees n_alive <= m_out. Padding lanes are born dead
+    (alive=False, far=0) and keep orig of lane 0 — their downstream
+    contributions are masked to exact zeros.
+    """
+    m_in = alive.shape[0]
+    dest = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    src = jnp.arange(m_in, dtype=jnp.int32)
+    comp = jnp.full((m_out,), -1, jnp.int32).at[
+        jnp.where(alive, dest, m_out)].set(src, mode="drop")
+    alive_out = comp >= 0
+    c = jnp.maximum(comp, 0)
+    return (alive_out, t[c], o_cf[:, c], d_cf[:, c],
+            jnp.where(alive_out, fars[c], 0.0), orig[c])
+
+
+def _ray_buckets(chunk: int, allowed=()):
+    """Descending ray working-set sizes for cross-round compaction."""
+    if allowed:
+        return sorted({min(b, chunk) for b in allowed}, reverse=True)
+    sizes = []
+    m = chunk
+    while m >= 4096:
+        sizes.append(m)
+        m //= 8
+    if not sizes:
+        sizes = [chunk]
+    return sizes
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
 def _finalize_chunk(weight_sum, depth, nears, fars,
                     settings: RenderSettings):
     rgb_bias = (1.0 - weight_sum) * jnp.float32(settings.bg_color)
@@ -388,10 +477,12 @@ def _finalize_chunk(weight_sum, depth, nears, fars,
 _ABS_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
 
 
-def _bucket_sizes(ns: int):
+def _bucket_sizes(ns: int, allowed=()):
     """Static network batch sizes <= ns (absolute, shared across round-S
-    variants so jit specializations are reused)."""
-    sizes = [b for b in _ABS_BUCKETS if b < ns] + [ns]
+    variants so jit specializations are reused). `allowed` (from
+    RenderSettings.bucket_set) restricts the set to bound cold compiles."""
+    table = allowed or _ABS_BUCKETS
+    sizes = [b for b in table if b < ns] + [ns]
     return sizes
 
 
@@ -404,10 +495,23 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     reads the valid-sample count (the analog of the reference's
     alive-counter readback, nerf_render.cu:288-292) and picks the
     smallest static bucket that fits, (3) the network runs on just that
-    bucket (jit re-specializes per size), (4) un-compact + composite.
-    Late rounds evaluate a tiny fraction of the S*N lanes instead of all
-    of them — the reference's compaction win, recovered with static
-    shapes.
+    bucket (jit re-specializes per size), (4) un-compact + composite into
+    full-chunk accumulators.
+
+    Two compaction levels recover the reference's wins with static shapes:
+      - samples within a round (kernel_compact_rays applied to the sample
+        batch): the network sees a bucket-sized prefix, not all S*N lanes;
+      - RAYS across rounds: when the alive count fits a smaller power-of-8
+        bucket, the working set (t/origins/dirs/fars/orig-index) is
+        compacted so the march itself stops paying for dead lanes
+        (nerf_render.cu:284-302). March was ~40% of warm frame time
+        pre-compaction (BASELINE.md).
+
+    One host RTT per round: the previous round's alive counter piggybacks
+    on this round's sample-count readback (counts[2] from _round_march),
+    so s_round / compaction / termination decisions run one round stale —
+    alive counts only decrease, so stale estimates are upper bounds and
+    every compaction stays valid.
     """
     import numpy as _np
 
@@ -417,6 +521,7 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
     s_max = s.samples_per_round
+    ladder = _ray_buckets(chunk, s.ray_bucket_set)
 
     out_rgb, out_depth, out_wsum = [], [], []
     max_rounds_seen = 0
@@ -434,46 +539,64 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             nr = jnp.pad(nr, (0, pad), constant_values=_FLT_MAX)
             fr = jnp.pad(fr, (0, pad), constant_values=_FLT_MAX)
 
-        t = nr
-        alive = nr < fr
-        n_alive = int(_np.asarray(jnp.sum(alive.astype(jnp.int32))))
+        # full-chunk accumulators (always original-slot indexed)
         w_sum = jnp.zeros((chunk,), jnp.float32)
         depth = jnp.zeros((chunk,), jnp.float32)
         rgb = jnp.zeros((3, chunk), jnp.float32)
+        # compactable working set
+        t = nr
+        alive = nr < fr
+        frw = fr
+        orig = jnp.arange(chunk, dtype=jnp.int32)
+        m = chunk
+        n_alive_dev = jnp.sum(alive.astype(jnp.int32))
+        n_alive_est = int(_np.asarray(n_alive_dev))  # one initial read
         seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
                                    & 0x7FFFFFFF)
         rounds = 0
         total_steps = 0
         import time as _time
-        while total_steps < s.max_infer_steps and n_alive > 0:
+        while total_steps < s.max_infer_steps and n_alive_est > 0:
+            # cross-round ray compaction: smallest ladder bucket that fits
+            # the (stale, hence upper-bound) alive estimate
+            target = min((b for b in ladder if b >= n_alive_est),
+                         default=ladder[0])
+            if target < m:
+                alive, t, o_cf, d_cf, frw, orig = _compact_rays(
+                    alive, t, o_cf, d_cf, frw, orig, target)
+                m = target
             # the reference's adaptive num_step = clamp(N/num_alive, 1, 8)
-            # (nerf_render.cu:300), rounded down to a power of two so jit
+            # (nerf_render.cu:300), restricted to s_round_set so jit
             # specializations stay bounded
-            s_round = min(s_max, max(1, chunk // max(n_alive, 1)))
-            s_round = 1 << (s_round.bit_length() - 1)
+            s_round = min(s_max, max(1, chunk // max(n_alive_est, 1)))
+            s_round = max((v for v in s.s_round_set if v <= s_round),
+                          default=min(s.s_round_set))
             t0 = _time.perf_counter()
-            t_new, emit, pos_c, dir_c, sdt, srd, n_valid = _round_march(
-                density_grid, o_cf, d_cf, fr, t, alive, jnp.int32(rounds),
-                seed_c, s, s_round=s_round)
-            k = int(_np.asarray(n_valid))  # host readback
+            t_new, emit, pos_c, dir_c, sdt, srd, counts = _round_march(
+                density_grid, o_cf, d_cf, frw, t, alive, jnp.int32(rounds),
+                seed_c, s, s_round=s_round, n_alive_in=n_alive_dev)
+            counts_h = _np.asarray(counts)  # the ONE host RTT this round
+            k = int(counts_h[0])
+            if int(counts_h[1]) >= 0:
+                n_alive_est = int(counts_h[1])
             t1 = _time.perf_counter()
             if k > 0:
-                sizes = _bucket_sizes(s_round * chunk)
+                sizes = _bucket_sizes(s_round * m, s.bucket_set)
                 size = next((sz for sz in sizes if sz >= k), sizes[-1])
                 rgb_k, sigma_k = _eval_bucket(apply_fn, params,
                                               pos_c[:, :size],
                                               dir_c[:, :size])
-                w_sum, depth, rgb, alive, n_alive_dev = _round_composite(
-                    rgb_k, sigma_k, emit, sdt, srd, t, alive, w_sum, depth,
-                    rgb, fr, t_new, s)
-                n_alive = int(_np.asarray(n_alive_dev))
+                w_sum, depth, rgb, alive, n_alive_dev = \
+                    _round_composite_scatter(
+                        rgb_k, sigma_k, emit, sdt, srd, t, alive, orig,
+                        w_sum, depth, rgb, frw, t_new, s)
             else:
-                alive = alive & (t_new < fr)
-                n_alive = int(_np.asarray(jnp.sum(alive.astype(jnp.int32))))
+                alive = alive & (t_new < frw)
+                n_alive_dev = jnp.sum(alive.astype(jnp.int32))
             t2 = _time.perf_counter()
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(s_round=s_round, k=k, n_alive=n_alive,
+                    dict(s_round=s_round, m=m, k=k, n_alive_est=n_alive_est,
                          march_s=t1 - t0, eval_comp_s=t2 - t1))
             t = t_new
             rounds += 1

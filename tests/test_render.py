@@ -344,3 +344,41 @@ def test_engine_hostloop_mode():
     rgb_d, _, w_d = eng2.render_frame_arrays(CAM, NERF_POSE)
     np.testing.assert_allclose(np.asarray(rgb_h), np.asarray(rgb_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hostloop_ray_compaction_matches_device_loop():
+    """Cross-round ray compaction (march working-set shrinks through the
+    bucket ladder) must not change the image vs the on-device while_loop."""
+    import dataclasses
+
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, 0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    dev = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+    stats = {}
+    host = render_rays_hostloop(
+        apply_cf, params, grid, rays_o, rays_d, nears, fars,
+        dataclasses.replace(settings, ray_chunk=256,
+                            ray_bucket_set=(256, 64, 16)),
+        stats=stats)
+    # the ladder must actually engage (rays die as the march progresses)
+    assert min(r["m"] for r in stats["rounds"]) < 256, stats["rounds"]
+    np.testing.assert_allclose(np.asarray(host.rgb), np.asarray(dev.rgb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.weight_sum),
+                               np.asarray(dev.weight_sum), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.depth),
+                               np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
