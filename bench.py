@@ -142,17 +142,26 @@ def main():
     # reuses this session's TPU binaries (identical HLO -> cache hit)
     enable_cache(os.path.join(REPO_DIR, ".xla_cache"))
 
-    from nerf_tpu.core.snapshot import make_synthetic_snapshot
+    from nerf_tpu.core.snapshot import (
+        DEFAULT_NETWORK_CONFIG,
+        TPU_NETWORK_CONFIG,
+        make_synthetic_snapshot,
+    )
     from nerf_tpu.core.types import Camera, RenderSettings
     from nerf_tpu.render.engine import NerfRender
 
-    snap = make_synthetic_snapshot(seed=3, grid_h=128)
     pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
                      [0, 0, 0, 1]], np.float32)
 
-    # smallest-first; each resolution shares the same bounded
-    # specialization set so later attempts reuse all compiled programs
-    resolutions = [(256, 256), (800, 800)]
+    # smallest-first; attempts share the bounded specialization set so
+    # later ones reuse compiled programs. The TpuGrid flagship (one gather
+    # descriptor per sample-level) leads; the tcnn-layout HashGrid parity
+    # path is benched afterwards for the record.
+    attempts = [
+        ("tpugrid", TPU_NETWORK_CONFIG, 256),
+        ("tpugrid", TPU_NETWORK_CONFIG, 800),
+        ("hashgrid", DEFAULT_NETWORK_CONFIG, 800),
+    ]
     settings = RenderSettings(density_scale=25.0,
                               probes_per_round=32,
                               ray_chunk=65536,
@@ -160,30 +169,38 @@ def main():
                               bucket_set=(16384, 131072),
                               host_loop=True)
 
-    fused_checked = False
-    for w, h in resolutions:
+    snaps, engines, fused_checked = {}, {}, set()
+    for name, config, w in attempts:
         if _STATE["best"] > 0 and _remaining() < 300:
-            print(f"[bench] skipping {w}x{h}: {_remaining():.0f}s left",
+            print(f"[bench] skipping {name}@{w}: {_remaining():.0f}s left",
                   file=sys.stderr, flush=True)
             break
+        h = w
         cam = Camera(fl_x=w * 1.3875, fl_y=w * 1.3875, cx=w / 2, cy=h / 2)
-        eng = NerfRender(settings=settings)
-        eng.load_from_snapshot(snap)
+        if name not in snaps:
+            snaps[name] = make_synthetic_snapshot(seed=3, grid_h=128,
+                                                  network_config=config)
+        eng = engines.get(name)
+        if eng is None:
+            eng = NerfRender(settings=settings)
+            eng.load_from_snapshot(snaps[name])
+            engines[name] = eng
         eng.set_resolution((w, h))
-        if not fused_checked:
+        if name not in fused_checked:
             if not _verify_fused(eng):
                 # fused numerics broken on this backend: bench the oracle
                 print("[bench] falling back to oracle (use_fused=False)",
                       file=sys.stderr, flush=True)
                 eng = NerfRender(settings=settings, use_fused=False)
-                eng.load_from_snapshot(snap)
+                eng.load_from_snapshot(snaps[name])
                 eng.set_resolution((w, h))
-            fused_checked = True
+                engines[name] = eng
+            fused_checked.add(name)
         t0 = time.perf_counter()
         if not _validate(eng, cam, pose, w, h):
             continue
         rays_per_sec = _measure(eng, cam, pose, w, h)
-        print(f"[bench] {w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
+        print(f"[bench] {name}@{w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
               f"(wall {time.perf_counter() - t0:.0f}s)",
               file=sys.stderr, flush=True)
         _STATE["best"] = max(_STATE["best"], rays_per_sec)

@@ -178,6 +178,22 @@ DEFAULT_NETWORK_CONFIG: Dict = {
 }
 
 
+# The TPU-native flagship config: same model family (multiresolution grid
+# + two fused MLPs + SH), with the position encoding laid out for v5e
+# gather hardware (encodings/tpugrid.py — one descriptor per sample-level
+# instead of eight). Parameter budget matches DEFAULT_NETWORK_CONFIG.
+TPU_NETWORK_CONFIG: Dict = {
+    **DEFAULT_NETWORK_CONFIG,
+    "encoding": {
+        "otype": "TpuGrid",
+        "n_levels": 16,
+        "n_features_per_level": 2,
+        "log2_hashmap_size": 19,
+        "base_resolution": 16,
+    },
+}
+
+
 def make_synthetic_snapshot(seed: int = 0, grid_h: int = 128,
                             cascade: int = 1, bound: float = 1.0,
                             network_config: Optional[Dict] = None,

@@ -150,28 +150,25 @@ class TpuGridEncoding(Encoding):
         return row + jnp.uint32(self._offsets[lvl]), off, frac
 
     @staticmethod
-    def _select_subcube(g27, off):
-        """Per-axis factorized selection of the 2x2x2 corner sub-cube.
+    def _axis_weights(off_d, frac_d):
+        """Per-axis trilinear weights over the 3 neighborhood positions.
 
-        g27: list of 27 [B]-vectors (x-major: col = x*9 + y*3 + z);
-        off: [3, B] within-brick offsets in {0,1}.
-        Returns U[(i,j,k)] -> [B] for i,j,k in {0,1} (38 selects total)."""
-        ox = off[0] == 1
-        oy = off[1] == 1
-        oz = off[2] == 1
-        # z: [3,3,3] -> [3,3,2]
-        a = {(x, y, c): jnp.where(oz, g27[x * 9 + y * 3 + c + 1],
-                                  g27[x * 9 + y * 3 + c])
-             for x in range(3) for y in range(3) for c in range(2)}
-        # y: -> [3,2,2]
-        b = {(x, bb, c): jnp.where(oy, a[(x, bb + 1, c)], a[(x, bb, c)])
-             for x in range(3) for bb in range(2) for c in range(2)}
-        # x: -> [2,2,2]
-        return {(i, j, k): jnp.where(ox, b[(i + 1, j, k)], b[(i, j, k)])
-                for i in range(2) for j in range(2) for k in range(2)}
+        off_d [B] in {0,1}, frac_d [B] -> [B, 3] with weight (1-f) at
+        position off, f at off+1, 0 elsewhere."""
+        i = jnp.arange(3, dtype=jnp.uint32)[None, :]
+        o = off_d[:, None]
+        f = frac_d[:, None].astype(jnp.float32)
+        return jnp.where(i == o, 1.0 - f, jnp.where(i == o + 1, f, 0.0))
 
     def _encode_cf(self, params, x_cf):
-        """x_cf [3, B] in [0,1] -> [L*F, B] level-major features."""
+        """x_cf [3, B] in [0,1] -> [L*F, B] level-major features.
+
+        Per level: ONE row gather, then the trilerp is a dot of the
+        fetched 27-cell row with a per-sample 27-weight vector (the outer
+        product of three [B,3] axis weights — zero for the 19 cells
+        outside the sample's corner cube). Everything stays in the
+        gathered [B, 27] layout: no per-column lane extraction, which
+        measured 4.5x slower (bench_gather.py / BASELINE.md)."""
         F = self.n_features_per_level
         packed = self.packed_gather and F == 2
         if packed:
@@ -183,8 +180,8 @@ class TpuGridEncoding(Encoding):
                 table[..., 1].astype(jnp.bfloat16), jnp.uint16
             ).astype(jnp.uint32)
             ptable = b0 | (b1 << jnp.uint32(16))  # [R, 27]
-            # pad the row to the measured fast slice width (slice-32 hits
-            # a v5e gather cliff — see bench_gather.py)
+            # pad the row to the measured fast slice width (slice widths
+            # 17..63 except 64 hit a v5e gather cliff — bench_gather.py)
             pad = _FAST_ROW_U32 - _N_NEIGHBORHOOD
             ptable = jnp.pad(ptable, ((0, 0), (0, pad)))
         else:
@@ -194,44 +191,26 @@ class TpuGridEncoding(Encoding):
         outs = []
         for lvl in range(self.n_levels):
             row, off, frac = self._rows_for_level(x_cf, lvl)
+            wx = self._axis_weights(off[0], frac[0])
+            wy = self._axis_weights(off[1], frac[1])
+            wz = self._axis_weights(off[2], frac[2])
+            w27 = (wx[:, :, None, None] * wy[:, None, :, None]
+                   * wz[:, None, None, :]).reshape(-1, _N_NEIGHBORHOOD)
             if packed:
-                g = ptable[row]  # [B, row_u32] — ONE descriptor per sample
-                cols = [g[:, c] for c in range(_N_NEIGHBORHOOD)]
-                u = self._select_subcube(cols, off)
-
-                def unpack(v):
-                    f0 = jax.lax.bitcast_convert_type(
-                        v << jnp.uint32(16), jnp.float32)
-                    f1 = jax.lax.bitcast_convert_type(
-                        v & jnp.uint32(0xFFFF0000), jnp.float32)
-                    return f0, f1
-
-                corner_feats = {k: unpack(v) for k, v in u.items()}
+                g = ptable[row][:, :_N_NEIGHBORHOOD]  # ONE descriptor/sample
+                f0 = jax.lax.bitcast_convert_type(
+                    g << jnp.uint32(16), jnp.float32)
+                f1 = jax.lax.bitcast_convert_type(
+                    g & jnp.uint32(0xFFFF0000), jnp.float32)
+                outs.append(jnp.sum(w27 * f0, axis=1))
+                outs.append(jnp.sum(w27 * f1, axis=1))
             else:
-                g = ftable[row]  # [B, 27*F]
-                cols = [[g[:, c * F + f] for f in range(F)]
-                        for c in range(_N_NEIGHBORHOOD)]
-                u = {}
+                g = ftable[row].reshape(-1, _N_NEIGHBORHOOD, F)
+                r = jnp.sum(w27[:, :, None] * g.astype(jnp.float32), axis=1)
                 for f in range(F):
-                    uf = self._select_subcube(
-                        [cols[c][f] for c in range(_N_NEIGHBORHOOD)], off)
-                    for k_, v in uf.items():
-                        u.setdefault(k_, []).append(v)
-                corner_feats = {k_: tuple(v) for k_, v in u.items()}
+                    outs.append(r[:, f])
 
-            fx, fy, fz = frac[0], frac[1], frac[2]
-            feats = []
-            for f in range(F):
-                acc = jnp.zeros(x_cf.shape[1], jnp.float32)
-                for (i, j, k), vals in corner_feats.items():
-                    w = ((fx if i else 1.0 - fx)
-                         * (fy if j else 1.0 - fy)
-                         * (fz if k else 1.0 - fz))
-                    acc = acc + w * vals[f].astype(jnp.float32)
-                feats.append(acc)
-            outs.append(jnp.stack(feats, 0))  # [F, B]
-
-        out = jnp.concatenate(outs, axis=0)  # [L*F, B] level-major
+        out = jnp.stack(outs, axis=0)  # [L*F, B] level-major
         return out.astype(params.dtype)
 
     def encode(self, params, x):

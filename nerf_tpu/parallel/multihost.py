@@ -17,20 +17,28 @@ import numpy as np
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
-    """Initialize the JAX distributed runtime (no-op if single-process
-    args are absent and env autodetection fails)."""
+               process_id: Optional[int] = None) -> bool:
+    """Initialize the JAX distributed runtime.
+
+    With explicit arguments a failure RAISES (a misconfigured cluster must
+    not silently fall back to single-host); with no arguments, failed env
+    autodetection degrades to single-process and returns False."""
     import jax
 
+    explicit = coordinator_address is not None or process_id is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except Exception as e:  # single-process / unsupported environment
+        return True
+    except Exception as e:
+        if explicit:
+            raise
         import warnings
 
         warnings.warn(f"jax.distributed.initialize skipped: {e}")
+        return False
 
 
 def global_ray_mesh(axis: str = "rays"):

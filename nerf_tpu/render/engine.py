@@ -106,8 +106,9 @@ class NerfRender:
         settings = self.settings
 
         from nerf_tpu.encodings.hashgrid import GridEncoding
+        from nerf_tpu.encodings.tpugrid import TpuGridEncoding
 
-        if isinstance(net.pos_encoding, GridEncoding):
+        if isinstance(net.pos_encoding, (GridEncoding, TpuGridEncoding)):
             packed = (self.packed_grid if self.packed_grid is not None
                       else jax.default_backend() not in ("cpu",))
             net.pos_encoding.packed_gather = packed

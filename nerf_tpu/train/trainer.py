@@ -120,6 +120,11 @@ class Trainer:
         self.net = net
         self.settings = settings
         self.n_samples = n_samples
+        # grid encodings: packed bf16-pair gathers go through bitcasts,
+        # which are not reverse-differentiable — train on the f32 path
+        enc = getattr(net, "pos_encoding", None)
+        if hasattr(enc, "packed_gather"):
+            enc.packed_gather = False
         self.loss_fn = create_loss(loss_config or {"otype": "Huber"})
         self.tx, self.ema_decay = create_optimizer(
             optimizer_config or {"otype": "Adam", "learning_rate": 1e-2,

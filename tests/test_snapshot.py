@@ -60,3 +60,67 @@ def test_missing_snapshot_key():
 
     with pytest.raises(ValueError):
         load_snapshot({"encoding": {}})
+
+
+def test_foreign_snapshot_layout(tmp_path):
+    """Loader accepts externally-produced msgpack layouts (the reference
+    reads element-wise through nlohmann json, src/nerf_render.cu:431-473,
+    so foreign files legally contain float64 scalars, int-typed zeros,
+    arbitrary map order, and unknown extra keys). Our own writer is
+    byte-regular (f32 records) — this fixture deliberately is not."""
+    import msgpack
+
+    from nerf_tpu.models.nerf import build_nerf_network
+
+    net = build_nerf_network(SMALL_CFG, bound=2.0)
+    rng = np.random.default_rng(11)
+    params = rng.standard_normal(net.n_params).astype(np.float32)
+    h = 16
+    grid = rng.random(h ** 3).astype(np.float32)
+
+    # mixed element types: float64 for most, exact-int zeros sprinkled in
+    grid_list = [float(v) for v in grid]
+    grid_list[7] = 0
+    grid[7] = 0.0
+    params_list = [float(v) for v in params]
+    params_list[0] = 1
+    params[0] = 1.0
+
+    foreign = {
+        # extra top-level keys foreign producers include
+        "encoding": SMALL_CFG["encoding"],
+        "network": SMALL_CFG["network"],
+        "dir_encoding": SMALL_CFG["dir_encoding"],
+        "rgb_network": SMALL_CFG["rgb_network"],
+        "snapshot": {
+            # deliberately shuffled key order + unknown keys
+            "density_grid": grid_list,
+            "params": params_list,
+            "snapshot_version": 1,
+            "mean_density": 0.25,        # float64 on the wire
+            "density_grid_size": h,
+            "nerf": {"dataset": {"unused": True}},
+            "cascade": 1,
+            "bound": 2.0,
+            "scale": 0.33,
+            "aabb": [-2, -2, -2, 2, 2, 2],  # int-typed aabb
+        },
+    }
+    path = str(tmp_path / "foreign.msgpack")
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(foreign, use_bin_type=True))
+
+    snap = load_snapshot(path)
+    np.testing.assert_allclose(snap.params, params, rtol=1e-6)
+    np.testing.assert_allclose(snap.density_grid, grid, rtol=1e-6)
+    assert snap.settings.bound == 2.0
+    assert snap.settings.grid_h == h
+    assert snap.settings.mean_density == 0.25
+    assert snap.settings.aabb == (-2.0, -2.0, -2.0, 2.0, 2.0, 2.0)
+
+    # and the engine consumes it end-to-end
+    from nerf_tpu.render.engine import NerfRender
+
+    eng = NerfRender()
+    eng.reload_network_from_file(path)
+    assert eng.params is not None
