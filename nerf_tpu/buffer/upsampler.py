@@ -141,3 +141,65 @@ def create_upsampler(out_resolution, quality: str = "MaxPerformance",
     if learned:
         return LearnedUpsampler(out_resolution, quality, params)
     return BilinearUpsampler(out_resolution, quality)
+
+
+# ---------------------------------------------------------------------------
+# Training the learned residual (the capability NGX hides inside its blob:
+# our quality contract is ">= bilinear", SURVEY.md section 7 hard-part 5).
+# Self-supervised from the renderer itself: (low-res render, high-res
+# render) pairs of the same camera — no external data needed.
+# ---------------------------------------------------------------------------
+
+def train_upsampler(pairs, steps: int = 200, lr: float = 1e-3,
+                    key=None, in_channels: int = 3):
+    """Fit the residual CNN on (lo [h,w,C], hi [2h,2w,C]) image pairs.
+
+    Returns (params, losses). Loss is MSE of (bilinear + residual) vs hi —
+    at init the residual starts near zero, so training can only improve on
+    the bilinear baseline it regresses from.
+    """
+    import optax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    hi0 = pairs[0][1]
+    out_res = (hi0.shape[1], hi0.shape[0])  # (W, H)
+    up = LearnedUpsampler(out_res)
+    params = up.init_params(key, in_channels=in_channels)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    lo_b = jnp.stack([jnp.asarray(lo, jnp.float32) for lo, _ in pairs])
+    hi_b = jnp.stack([jnp.asarray(hi, jnp.float32) for _, hi in pairs])
+
+    @jax.jit
+    def step_fn(params, opt_state, lo_b, hi_b):
+        def loss_fn(p):
+            def one(lo, hi):
+                u = LearnedUpsampler(out_res, params=p)
+                return jnp.mean((u.run(lo) - hi) ** 2)
+
+            return jnp.mean(jax.vmap(one)(lo_b, hi_b))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, lo_b, hi_b)
+        losses.append(float(loss))
+    return params, losses
+
+
+def save_upsampler_params(path: str, params: Dict) -> None:
+    import numpy as np
+
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_upsampler_params(path: str) -> Dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}

@@ -25,36 +25,40 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 512      # index block minor dim (SMEM layout constraint)
 _ROWS = 8         # index block rows -> 4096 indices per grid step
 _STEP = _LANES * _ROWS
-_NBUF = 8         # DMA slots in flight
+_NBUF = 16        # DMA slots in flight
 
 
-def _kernel(idx_ref, table_ref, out_ref, scratch, sems):
+def _kernel(idx_ref, table_ref, out_ref, sems):
     """idx_ref: SMEM [ROWS, LANES] int32 block (4096 indices);
-    table_ref: HBM [R, W]; out_ref: VMEM [STEP, W] gathered rows."""
+    table_ref: HBM [R, W]; out_ref: VMEM [STEP, W] gathered rows.
+
+    DMAs go straight into the output row (no staging copy); semaphore
+    slots recycle every _NBUF issues."""
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(
             table_ref.at[idx_ref[i // _LANES, jax.lax.rem(i, _LANES)]],
-            scratch.at[slot],
+            out_ref.at[i],
             sems.at[slot],
         )
 
-    # warm the pipeline
-    for s in range(_NBUF):
-        get_dma(s, s).start()
-
     def body(i, _):
         slot = jax.lax.rem(i, _NBUF)
-        get_dma(slot, i).wait()
-        out_ref[i, :] = scratch[slot]
 
-        @pl.when(i + _NBUF < _STEP)
+        @pl.when(i >= _NBUF)
         def _():
-            get_dma(slot, i + _NBUF).start()
+            get_dma(slot, i - _NBUF).wait()
 
+        get_dma(slot, i).start()
         return 0
 
     jax.lax.fori_loop(0, _STEP, body, 0)
+
+    def drain(i, _):
+        get_dma(jax.lax.rem(i, _NBUF), i).wait()
+        return 0
+
+    jax.lax.fori_loop(_STEP - _NBUF, _STEP, drain, 0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -75,7 +79,6 @@ def dma_gather_rows(table, idx):
         out_specs=pl.BlockSpec((_STEP, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, w), table.dtype),
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
     )

@@ -120,8 +120,12 @@ class NerfRender:
             def apply_fn(params, pos01_cf, dir01_cf):
                 return net.apply_cf(params, pos01_cf, dir01_cf)
 
-        if settings.host_loop and self.mesh is None:
-            from nerf_tpu.render.march import render_rays_hostloop
+        if settings.host_loop:
+            from nerf_tpu.render.march import (
+                _ShardedRounds,
+                render_rays_hostloop,
+                render_rays_hostloop_sharded,
+            )
 
             @functools.partial(jax.jit, static_argnames=())
             def gen(cam_params, rotation, origin):
@@ -133,13 +137,21 @@ class NerfRender:
                     settings.min_near)
                 return rays_o, rays_d, nears, fars
 
+            rounds = (None if self.mesh is None
+                      else _ShardedRounds(self.mesh, settings, apply_fn))
+
             def render(params, density_grid, cam_params, rotation, origin,
                        perturb_seed):
                 rays_o, rays_d, nears, fars = gen(cam_params, rotation,
                                                   origin)
-                res = render_rays_hostloop(
-                    apply_fn, params, density_grid, rays_o, rays_d, nears,
-                    fars, settings, perturb_seed=perturb_seed)
+                if rounds is not None:
+                    res = render_rays_hostloop_sharded(
+                        rounds, params, density_grid, rays_o, rays_d,
+                        nears, fars, perturb_seed=perturb_seed)
+                else:
+                    res = render_rays_hostloop(
+                        apply_fn, params, density_grid, rays_o, rays_d,
+                        nears, fars, settings, perturb_seed=perturb_seed)
                 return res.rgb, res.depth, res.weight_sum
 
             return render

@@ -558,9 +558,11 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         import time as _time
         while total_steps < s.max_infer_steps and n_alive_est > 0:
             # cross-round ray compaction: smallest ladder bucket that fits
-            # the (stale, hence upper-bound) alive estimate
+            # the (stale, hence upper-bound) alive estimate; if none fits,
+            # keep the current size — compacting into a too-small bucket
+            # would drop live rays
             target = min((b for b in ladder if b >= n_alive_est),
-                         default=ladder[0])
+                         default=m)
             if target < m:
                 alive, t, o_cf, d_cf, frw, orig = _compact_rays(
                     alive, t, o_cf, d_cf, frw, orig, target)
@@ -612,6 +614,256 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     return RenderResult(rgb=rgb.T,
                         depth=jnp.concatenate(out_depth),
                         weight_sum=jnp.concatenate(out_wsum),
+                        n_rounds=jnp.int32(max_rounds_seen))
+
+
+# ---------------------------------------------------------------------------
+# Sharded host-driven round loop: the host loop above, with every per-round
+# program shard_mapped over a ray mesh. Each device owns a contiguous ray
+# block, compacts ITS OWN samples/rays (local cumsums — no cross-device
+# collectives in the hot path, matching the reference's per-GPU
+# independence, nerf_render.cu:252-362), and the host makes bucket
+# decisions from the per-device counts (one gather of a [D,2] array per
+# round). SPMD requires uniform static shapes, so buckets are sized to the
+# max count across devices.
+# ---------------------------------------------------------------------------
+
+
+class _ShardedRounds:
+    """Per-(mesh, settings, apply_fn) cache of shard_mapped round programs."""
+
+    def __init__(self, mesh, settings: RenderSettings, apply_fn: Callable):
+        from jax.sharding import PartitionSpec as P
+
+        self.mesh = mesh
+        self.s = settings
+        self.apply_fn = apply_fn
+        self.axis = mesh.axis_names[0]
+        self.n_dev = mesh.devices.size
+        self._pr = P(self.axis)          # [n] sharded
+        self._pc = P(None, self.axis)    # [C, n] sharded on batch
+        self._p0 = P()
+        self._cache = {}
+
+    def _smap(self, core, in_specs, out_specs):
+        return jax.jit(jax.shard_map(
+            core, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False))
+
+    def march(self, s_round):
+        key = ("march", s_round)
+        if key not in self._cache:
+            s = self.s
+
+            def core(dg, o, d, fr, t, alive, ri, sd, na):
+                return _round_march(dg, o, d, fr, t, alive, ri, sd, s,
+                                    s_round=s_round, n_alive_in=na[0])
+
+            self._cache[key] = self._smap(
+                core,
+                (self._p0, self._pc, self._pc, self._pr, self._pr,
+                 self._pr, self._p0, self._p0, self._pr),
+                (self._pr, self._pr, self._pc, self._pc, self._pc,
+                 self._pc, self._pr))
+        return self._cache[key]
+
+    def eval_bucket(self, size):
+        key = ("eval", size)
+        if key not in self._cache:
+            apply_fn = self.apply_fn
+
+            def core(p, pc, dc):
+                return apply_fn(p, pc[:, :size], dc[:, :size])
+
+            self._cache[key] = self._smap(
+                core, (self._p0, self._pc, self._pc),
+                (self._pc, self._pr))
+        return self._cache[key]
+
+    def composite(self):
+        key = "composite"
+        if key not in self._cache:
+            s = self.s
+
+            def core(rgb_k, sigma_k, emit, sdt, srd, t, alive, orig, w, dep,
+                     rgb, fr, tn):
+                out = _round_composite_scatter(rgb_k, sigma_k, emit, sdt,
+                                               srd, t, alive, orig, w, dep,
+                                               rgb, fr, tn, s)
+                w2, d2, r2, alive2, n_alive = out
+                return w2, d2, r2, alive2, n_alive[None]
+
+            self._cache[key] = self._smap(
+                core,
+                (self._pc, self._pr, self._pr, self._pc, self._pc,
+                 self._pr, self._pr, self._pr, self._pr, self._pr,
+                 self._pc, self._pr, self._pr),
+                (self._pr, self._pr, self._pc, self._pr, self._pr))
+        return self._cache[key]
+
+    def compact(self, m_out_local):
+        key = ("compact", m_out_local)
+        if key not in self._cache:
+            def core(alive, t, o, d, fr, orig):
+                return _compact_rays(alive, t, o, d, fr, orig, m_out_local)
+
+            self._cache[key] = self._smap(
+                core,
+                (self._pr, self._pr, self._pc, self._pc, self._pr,
+                 self._pr),
+                (self._pr, self._pr, self._pc, self._pc, self._pr,
+                 self._pr))
+        return self._cache[key]
+
+    def liveness(self):
+        """k==0 rounds: drop rays that flew past far (no composite ran)."""
+        key = "liveness"
+        if key not in self._cache:
+            def core(alive, t_new, fr):
+                alive2 = alive & (t_new < fr)
+                return alive2, jnp.sum(alive2.astype(jnp.int32))[None]
+
+            self._cache[key] = self._smap(
+                core, (self._pr, self._pr, self._pr),
+                (self._pr, self._pr))
+        return self._cache[key]
+
+    def finalize(self):
+        key = "finalize"
+        if key not in self._cache:
+            s = self.s
+
+            def core(w, dep, nr, fr):
+                return _finalize_chunk(w, dep, nr, fr, s)
+
+            self._cache[key] = self._smap(
+                core, (self._pr, self._pr, self._pr, self._pr),
+                (self._pr, self._pr))
+        return self._cache[key]
+
+
+def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
+                                 density_grid, rays_o, rays_d, nears, fars,
+                                 perturb_seed=None,
+                                 stats=None) -> RenderResult:
+    """Multi-chip host-looped render (see render_rays_hostloop).
+
+    rays are globally [N]; each device owns N/D contiguous rays. Bucket /
+    s_round / compaction decisions use the MAX per-device counts so every
+    shard runs the same static shapes (SPMD).
+    """
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = rounds.s
+    mesh = rounds.mesh
+    axis = rounds.axis
+    d_cnt = rounds.n_dev
+    sh_r = NamedSharding(mesh, P(axis))
+    sh_c = NamedSharding(mesh, P(None, axis))
+    sh_0 = NamedSharding(mesh, P())
+
+    n_total = rays_o.shape[0]
+    chunk = min(s.ray_chunk, n_total)
+    chunk = max(d_cnt, chunk - chunk % d_cnt)
+    n_local = chunk // d_cnt
+    ladder = _ray_buckets(n_local, s.ray_bucket_set)
+    seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
+        perturb_seed, jnp.int32)
+    s_max = s.samples_per_round
+
+    params = jax.device_put(params, sh_0)
+    density_grid = jax.device_put(density_grid, sh_0)
+
+    out_rgb, out_depth, out_wsum = [], [], []
+    max_rounds_seen = 0
+    for start in range(0, n_total, chunk):
+        end = min(start + chunk, n_total)
+        n = end - start
+        pad = chunk - n
+        o_np = _np.asarray(rays_o[start:end]).T
+        d_np = _np.asarray(rays_d[start:end]).T
+        nr_np = _np.asarray(nears[start:end])
+        fr_np = _np.asarray(fars[start:end])
+        if pad:
+            o_np = _np.pad(o_np, ((0, 0), (0, pad)))
+            d_np = _np.pad(d_np, ((0, 0), (0, pad)), constant_values=1.0)
+            nr_np = _np.pad(nr_np, (0, pad),
+                            constant_values=float(_FLT_MAX))
+            fr_np = _np.pad(fr_np, (0, pad),
+                            constant_values=float(_FLT_MAX))
+        o_cf = jax.device_put(o_np, sh_c)
+        d_cf = jax.device_put(d_np, sh_c)
+        nr = jax.device_put(nr_np, sh_r)
+        fr_full = jax.device_put(fr_np, sh_r)
+        frw = fr_full  # working-set copy (shrinks with ray compaction)
+
+        w_sum = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
+        depth = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
+        rgb = jax.device_put(_np.zeros((3, chunk), _np.float32), sh_c)
+        t = nr
+        alive = jax.device_put(nr_np < fr_np, sh_r)
+        # LOCAL slot index per shard (composite scatters into the local
+        # accumulator block)
+        orig = jax.device_put(
+            _np.tile(_np.arange(n_local, dtype=_np.int32), d_cnt), sh_r)
+        m = n_local
+        # per-device alive counts (host copies)
+        alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
+        n_alive_dev = jax.device_put(
+            alive_d.astype(_np.int32), sh_r)  # [D] device copy
+        max_alive = int(alive_d.max())
+        total_alive = int(alive_d.sum())
+        seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
+                                   & 0x7FFFFFFF)
+        rounds_n = 0
+        total_steps = 0
+        while total_steps < s.max_infer_steps and total_alive > 0:
+            target = min((b for b in ladder if b >= max_alive),
+                         default=m)
+            if target < m:
+                alive, t, o_cf, d_cf, frw, orig = rounds.compact(target)(
+                    alive, t, o_cf, d_cf, frw, orig)
+                m = target
+            s_round = min(s_max, max(1, n_local // max(max_alive, 1)))
+            s_round = max((v for v in s.s_round_set if v <= s_round),
+                          default=min(s.s_round_set))
+            t_new, emit, pos_c, dir_c, sdt, srd, counts = rounds.march(
+                s_round)(density_grid, o_cf, d_cf, frw, t, alive,
+                         jnp.int32(rounds_n), seed_c, n_alive_dev)
+            counts_h = _np.asarray(counts).reshape(d_cnt, 2)  # ONE RTT
+            k_max = int(counts_h[:, 0].max())
+            if counts_h[0, 1] >= 0:
+                max_alive = int(counts_h[:, 1].max())
+                total_alive = int(counts_h[:, 1].sum())
+            if k_max > 0:
+                sizes = _bucket_sizes(s_round * m, s.bucket_set)
+                size = next((sz for sz in sizes if sz >= k_max), sizes[-1])
+                rgb_k, sigma_k = rounds.eval_bucket(size)(params, pos_c,
+                                                          dir_c)
+                w_sum, depth, rgb, alive, n_alive_dev = rounds.composite()(
+                    rgb_k, sigma_k, emit, sdt, srd, t, alive, orig, w_sum,
+                    depth, rgb, frw, t_new)
+            else:
+                alive, n_alive_dev = rounds.liveness()(alive, t_new, frw)
+            if stats is not None:
+                stats.setdefault("rounds", []).append(
+                    dict(s_round=s_round, m=m, k=k_max,
+                         max_alive=max_alive, total_alive=total_alive))
+            t = t_new
+            rounds_n += 1
+            total_steps += s_round
+        max_rounds_seen = max(max_rounds_seen, rounds_n)
+
+        rgb_bias, dd = rounds.finalize()(w_sum, depth, nr, fr_full)
+        out_rgb.append(_np.asarray(rgb + rgb_bias[None, :])[:, :n])
+        out_depth.append(_np.asarray(dd)[:n])
+        out_wsum.append(_np.asarray(w_sum)[:n])
+
+    rgb = _np.concatenate(out_rgb, axis=1)
+    return RenderResult(rgb=jnp.asarray(rgb.T),
+                        depth=jnp.asarray(_np.concatenate(out_depth)),
+                        weight_sum=jnp.asarray(_np.concatenate(out_wsum)),
                         n_rounds=jnp.int32(max_rounds_seen))
 
 

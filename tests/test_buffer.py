@@ -100,3 +100,63 @@ def test_learned_upsampler():
     ups.params = None
     np.testing.assert_allclose(np.asarray(ups.run(jnp.ones((4, 4, 3)) * 0.5)),
                                np.asarray(base))
+
+
+def test_learned_upsampler_training_beats_bilinear():
+    """The quality contract of the DLSS replacement (SURVEY.md section 7
+    hard-part 5): after self-supervised training, the learned upsampler
+    must beat plain bilinear on held-out images."""
+    import jax
+
+    from nerf_tpu.buffer.upsampler import (
+        BilinearUpsampler,
+        LearnedUpsampler,
+        load_upsampler_params,
+        save_upsampler_params,
+        train_upsampler,
+    )
+
+    # synthetic "renders" with SHARED structure (oriented gratings):
+    # bilinear attenuates high frequencies systematically, so a learned
+    # sharpening residual generalizes across the family
+    import math
+
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    pairs = []
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        th = rng.uniform(0, math.pi)
+        ph = rng.uniform(0, 2 * math.pi)
+        f = rng.uniform(0.5, 0.9)
+        img = 0.5 + 0.5 * np.sin(f * (np.cos(th) * xx + np.sin(th) * yy)
+                                 + ph)
+        hi = jnp.asarray(np.stack([img, img * 0.8, img * 0.6], -1),
+                         jnp.float32)
+        lo = jax.image.resize(hi, (16, 16, 3), "bilinear")
+        pairs.append((lo, hi))
+    train, test = pairs[:8], pairs[8:]
+
+    params, losses = train_upsampler(train, steps=300, lr=3e-3)
+    assert losses[-1] < losses[0]
+
+    def mse(up, lo, hi):
+        return float(jnp.mean((up.run(lo) - hi) ** 2))
+
+    bil = BilinearUpsampler((32, 32))
+    learned = LearnedUpsampler((32, 32), params=params)
+    bil_mse = np.mean([mse(bil, lo, hi) for lo, hi in test])
+    l_mse = np.mean([mse(learned, lo, hi) for lo, hi in test])
+    assert l_mse < bil_mse, (l_mse, bil_mse)
+
+    # params round-trip
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "up.npz")
+        save_upsampler_params(p, params)
+        loaded = load_upsampler_params(p)
+        l2 = LearnedUpsampler((32, 32), params=loaded)
+        np.testing.assert_allclose(np.asarray(l2.run(test[0][0])),
+                                   np.asarray(learned.run(test[0][0])),
+                                   rtol=1e-6, atol=1e-6)

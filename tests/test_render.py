@@ -382,3 +382,36 @@ def test_hostloop_ray_compaction_matches_device_loop():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(host.depth),
                                np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_hostloop_matches_single_device():
+    """The shard_mapped host-loop renderer (per-device ray blocks, local
+    compaction, max-count bucket decisions) must reproduce the
+    single-device frame (reference analog: NGPU data parallelism,
+    nerf_render.cu:252-362)."""
+    import dataclasses
+
+    from nerf_tpu.core.snapshot import make_synthetic_snapshot
+    from nerf_tpu.parallel.mesh import make_mesh
+
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    base = RenderSettings(density_scale=8.0, host_loop=True,
+                          ray_bucket_set=(64, 16))
+    eng1 = NerfRender(settings=base)
+    eng1.load_from_snapshot(snap)
+    eng1.set_resolution((16, 16))
+    rgb1, d1, w1 = eng1.render_frame_arrays(CAM, NERF_POSE)
+
+    mesh = make_mesh(4)
+    eng2 = NerfRender(settings=base, mesh=mesh)
+    eng2.load_from_snapshot(snap)
+    eng2.set_resolution((16, 16))
+    rgb2, d2, w2 = eng2.render_frame_arrays(CAM, NERF_POSE)
+
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
