@@ -61,9 +61,13 @@ def _on_signal(signum, frame):
     sys.exit(1)  # unwinds through atexit -> _emit
 
 
-atexit.register(_emit)
-signal.signal(signal.SIGTERM, _on_signal)
-signal.signal(signal.SIGINT, _on_signal)
+def _install_handlers():
+    """Emit-on-exit plumbing; explicit so importing bench (e.g. from
+    tests) does not leave an atexit JSON printer behind."""
+    atexit.register(_emit)
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
@@ -136,6 +140,7 @@ def _measure(eng, cam, pose, w, h, n_frames=5):
 
 
 def main():
+    _install_handlers()
     from nerf_tpu.utils.compile_cache import enable as enable_cache
 
     # repo-local cache: committed warm so the driver's cold container
@@ -162,11 +167,15 @@ def main():
         ("tpugrid", TPU_NETWORK_CONFIG, 800),
         ("hashgrid", DEFAULT_NETWORK_CONFIG, 800),
     ]
+    # s_round pinned at 8: the reference's num_step=N/num_alive clamp
+    # (nerf_render.cu:300) protects per-GPU sample-buffer memory we don't
+    # have to protect — s_round=1 measured 32 rounds where 4-5 do
+    # (march is the per-round cost, BASELINE.md phase split)
     settings = RenderSettings(density_scale=25.0,
                               probes_per_round=32,
                               ray_chunk=65536,
-                              s_round_set=(1, 8),
-                              bucket_set=(16384, 131072),
+                              s_round_set=(8,),
+                              bucket_set=(16384, 65536, 262144),
                               host_loop=True)
 
     snaps, engines, fused_checked = {}, {}, set()
@@ -199,10 +208,20 @@ def main():
         t0 = time.perf_counter()
         if not _validate(eng, cam, pose, w, h):
             continue
+        eng.collect_stats = True
         rays_per_sec = _measure(eng, cam, pose, w, h)
+        eng.collect_stats = False
         print(f"[bench] {name}@{w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
               f"(wall {time.perf_counter() - t0:.0f}s)",
               file=sys.stderr, flush=True)
+        st = (eng.last_stats or {}).get("rounds")
+        if st:
+            march = sum(r.get("march_s", 0.0) for r in st)
+            evalc = sum(r.get("eval_comp_s", 0.0) for r in st)
+            print(f"[bench]   phase split (last frame): {len(st)} rounds, "
+                  f"march {march:.3f}s, eval+composite {evalc:.3f}s, "
+                  f"samples {sum(r['k'] for r in st)}",
+                  file=sys.stderr, flush=True)
         _STATE["best"] = max(_STATE["best"], rays_per_sec)
 
     _emit()

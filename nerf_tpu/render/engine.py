@@ -54,6 +54,10 @@ class NerfRender:
         self.density_grid = None
         self.resolution = None
         self._render_fn = None
+        # host-loop diagnostics: when True, per-round stats of the most
+        # recent frame land in last_stats (host-loop paths only)
+        self.collect_stats = False
+        self.last_stats: Optional[Dict] = None
 
     # -- loading (nerf_render.cu:93-184,431-473) --------------------------
     def reload_network_from_file(self, path: str) -> None:
@@ -144,14 +148,18 @@ class NerfRender:
                        perturb_seed):
                 rays_o, rays_d, nears, fars = gen(cam_params, rotation,
                                                   origin)
+                stats = {} if self.collect_stats else None
                 if rounds is not None:
                     res = render_rays_hostloop_sharded(
                         rounds, params, density_grid, rays_o, rays_d,
-                        nears, fars, perturb_seed=perturb_seed)
+                        nears, fars, perturb_seed=perturb_seed,
+                        stats=stats)
                 else:
                     res = render_rays_hostloop(
                         apply_fn, params, density_grid, rays_o, rays_d,
-                        nears, fars, settings, perturb_seed=perturb_seed)
+                        nears, fars, settings, perturb_seed=perturb_seed,
+                        stats=stats)
+                self.last_stats = stats
                 return res.rgb, res.depth, res.weight_sum
 
             return render

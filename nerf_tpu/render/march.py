@@ -289,6 +289,212 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
 _FLT_MAX = jnp.float32(3.4028235e38)
 
 
+def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
+                      s: RenderSettings, n_emit, round_idx=None,
+                      perturb_seed=None):
+    """Probe-major march: up to P samples per ray per round.
+
+    Same per-ray step sequence as _march_round (kernel_march_rays,
+    render_utils.h:524-655) but each probe writes its outcome straight to
+    probe slot i of [*, P, m] buffers via dynamic_update_slice — no
+    per-probe one-hot slotting (which measured ~60ms/round at m=65536,
+    BASELINE.md), and a ray can emit its entire sample budget for the
+    round instead of the reference's num_step<=8 (its per-GPU sample
+    buffer limit, nerf_render.cu:300, which a TPU chunk does not share).
+
+    n_emit [m]: cumulative samples emitted per ray (the reference's
+    per-ray step budget, m_max_infer_steps).
+    Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
+    n_emit_new [m]).
+    """
+    m = t.shape[0]
+    P = s.probes_per_round
+    h = s.grid_h
+    bound = jnp.float32(s.bound)
+    dt_gamma = jnp.float32(s.dt_gamma)
+    dt_min = jnp.float32(MIN_STEPSIZE)
+    dt_max = jnp.float32(2.0 * s.bound / s.grid_h)
+    density_thresh = jnp.float32(min(DENSITY_THRESH, s.mean_density))
+    max_steps = jnp.int32(s.max_infer_steps)
+
+    rd_inv = 1.0 / rays_d
+    sgn = jnp.copysign(jnp.float32(1.0), rays_d)
+
+    if s.perturb and round_idx is not None:
+        seed = jnp.int32(s.perturb) if perturb_seed is None else perturb_seed
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), round_idx)
+        t = t + jnp.float32(MIN_STEPSIZE) \
+            * jax.random.uniform(key, t.shape)
+
+    xs0 = jnp.zeros((3, P, m), jnp.float32)
+    dts0 = jnp.zeros((P, m), jnp.float32)
+    rds0 = jnp.zeros((P, m), jnp.float32)
+    valid0 = jnp.zeros((P, m), bool)
+
+    def probe(carry):
+        i, t, last_t, n_emit, xs, dts, rds, valid = carry
+        active = alive & (t < far) & (n_emit < max_steps)
+
+        x = jnp.clip(rays_o + t[None, :] * rays_d, -bound, bound)
+        if s.cascade > 1:
+            level = _mip_level(x, s.cascade)
+            mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)),
+                                    bound)
+        else:
+            mip_bound = jnp.broadcast_to(bound, (m,))
+            level = None
+        nxyz = jnp.clip(0.5 * (x / mip_bound[None, :] + 1.0) * h,
+                        0.0, float(h - 1)).astype(jnp.int32)
+        idx = nxyz[0] * (h * h) + nxyz[1] * h + nxyz[2]
+        if level is not None:
+            idx = idx + level * (h * h * h)
+        occ = density_grid[idx] > density_thresh
+
+        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+        emit_now = active & occ
+        skip_now = active & ~occ
+
+        # emission: probe-slot i of each buffer (plain indexed write)
+        t_emit = t + dt
+        xs = jax.lax.dynamic_update_slice(xs, x[:, None, :], (0, i, 0))
+        dts = jax.lax.dynamic_update_slice(dts, dt[None, :], (i, 0))
+        rds = jax.lax.dynamic_update_slice(
+            rds, (t_emit - last_t)[None, :], (i, 0))
+        valid = jax.lax.dynamic_update_slice(
+            valid, emit_now[None, :], (i, 0))
+
+        # voxel skip (render_utils.h:641-651) — see _march_round
+        bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
+               / float(h - 1) * 2.0 - 1.0) * mip_bound[None, :]
+        t_axes = (bnd - x) * rd_inv
+        tt = t + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
+        tt_eff = jnp.where(skip_now, tt, -jnp.inf)
+        t_skip = t + dt
+
+        def skip_cond(c):
+            k, ts = c
+            return (k < s.skip_iters) & jnp.any(ts < tt_eff)
+
+        def skip_step(c):
+            k, ts = c
+            step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
+            return k + 1, jnp.where(ts < tt_eff, ts + step, ts)
+
+        _, t_skip = jax.lax.while_loop(skip_cond, skip_step,
+                                       (jnp.int32(0), t_skip))
+
+        t_new = jnp.where(emit_now, t_emit,
+                          jnp.where(skip_now, t_skip, t))
+        last_t = jnp.where(emit_now, t_emit, last_t)
+        n_emit = n_emit + emit_now.astype(jnp.int32)
+        return i + 1, t_new, last_t, n_emit, xs, dts, rds, valid
+
+    def probe_cond(carry):
+        i, t, _, n_emit, *_ = carry
+        return (i < P) & jnp.any(alive & (t < far) & (n_emit < max_steps))
+
+    _, t, _, n_emit, xs, dts, rds, valid = jax.lax.while_loop(
+        probe_cond, probe,
+        (jnp.int32(0), t, t, n_emit, xs0, dts0, rds0, valid0))
+    return t, xs, dts, rds, valid, n_emit
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
+                      n_emit, round_idx, perturb_seed,
+                      settings: RenderSettings, n_alive_in=None):
+    """Deep march + sample compaction; probe-major counterpart of
+    _round_march. Returns (t_new, valid [P,m], pos01_c, dir01_c, dts, rds,
+    n_emit_new, counts[2])."""
+    s = settings
+    m = t.shape[0]
+    P = s.probes_per_round
+    ns = P * m
+    bound = jnp.float32(s.bound)
+
+    t_new, xs, dts, rds, valid, n_emit_new = _march_round_deep(
+        t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
+        round_idx=round_idx, perturb_seed=perturb_seed)
+
+    pos01 = xs.reshape(3, ns) / (2.0 * bound) + 0.5
+    dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                             (3, P, m)).reshape(3, ns)
+
+    vflat = valid.reshape(ns)
+    dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    n_valid = jnp.maximum(dest[-1] + 1, 0)
+    src = jnp.arange(ns, dtype=jnp.int32)
+    comp = jnp.zeros((ns,), jnp.int32).at[
+        jnp.where(vflat, dest, ns)].set(src, mode="drop")
+    pos01_c = pos01[:, comp]
+    dir01_c = dir01[:, comp]
+    if n_alive_in is None:
+        n_alive_in = jnp.int32(-1)
+    counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
+    return t_new, valid, pos01_c, dir01_c, dts, rds, n_emit_new, counts
+
+
+def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
+                            t_round_start, weight_sum, depth, rgb_acc):
+    """_composite_round with an explicit validity mask [P, N] instead of
+    slot<emit counts (probe-major layout: invalid slots interleave)."""
+    n = smp_dt.shape[1]
+
+    def body(carry, slot):
+        w_sum, d, racc, t_c, term = carry
+        v = valid[slot] & ~term
+        alpha = 1.0 - jnp.exp(-smp_sigma[slot] * smp_dt[slot])
+        big_t = 1.0 - w_sum
+        w = alpha * big_t
+        wv = jnp.where(v, w, 0.0)
+        t_c = t_c + jnp.where(v, smp_rd[slot], 0.0)
+        d = d + wv * t_c
+        racc = racc + wv[None, :] * smp_rgb[:, slot, :]
+        w_sum = w_sum + wv
+        term = term | (v & (big_t < 1e-4))
+        return (w_sum, d, racc, t_c, term), None
+
+    init = (weight_sum, depth, rgb_acc, t_round_start,
+            jnp.zeros((n,), bool))
+    (w_sum, d, racc, _, term), _ = jax.lax.scan(
+        body, init, jnp.arange(smp_dt.shape[0], dtype=jnp.int32))
+    return w_sum, d, racc, term
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _round_composite_deep(rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
+                          n_emit, w_sum_full, depth_full, rgb_full, fars,
+                          t_new, settings: RenderSettings):
+    """Probe-major counterpart of _round_composite_scatter."""
+    s = settings
+    m = t.shape[0]
+    P = dts.shape[0]
+    ns = P * m
+    k = sigma_k.shape[0]
+
+    if s.density_scale != 1.0:
+        sigma_k = sigma_k * jnp.float32(s.density_scale)
+    vflat = valid.reshape(ns)
+    dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    dest_c = jnp.clip(dest, 0, k - 1)
+    sigma = jnp.where(vflat, sigma_k[dest_c], 0.0).reshape(P, m)
+    rgb_s = jnp.where(vflat[None, :], rgb_k[:, dest_c],
+                      0.0).reshape(3, P, m)
+
+    ws0 = w_sum_full[orig]
+    w_new, d_delta, rgb_delta, term = _composite_round_masked(
+        rgb_s, sigma, dts, rds, valid, t, ws0,
+        jnp.zeros((m,), jnp.float32), jnp.zeros((3, m), jnp.float32))
+    live = alive.astype(jnp.float32)
+    w_sum_full = w_sum_full.at[orig].add((w_new - ws0) * live)
+    depth_full = depth_full.at[orig].add(d_delta * live)
+    rgb_full = rgb_full.at[:, orig].add(rgb_delta * live[None, :])
+    alive_new = (alive & ~term & (t_new < fars)
+                 & (n_emit < jnp.int32(s.max_infer_steps)))
+    return (w_sum_full, depth_full, rgb_full, alive_new,
+            jnp.sum(alive_new.astype(jnp.int32)))
+
+
 # ---------------------------------------------------------------------------
 # Host-driven round loop.
 #
@@ -302,134 +508,14 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 # round, negligible against a 10^4x binary-quality gap.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("settings", "s_round"))
-def _round_march(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
-                 round_idx, perturb_seed, settings: RenderSettings,
-                 s_round: int = None, n_alive_in=None):
-    """March one round and COMPACT the emitted samples to the front.
-
-    Returns (t_new, emit, pos01 [3, S*N] compacted, dir01 [3, S*N]
-    compacted, sdt, srd, counts) — the reference's kernel_compact_rays
-    idea (render_utils.h:394-415) applied to the sample batch: the
-    network then runs on a bucket-sized prefix instead of all S*N lanes.
-
-    counts is a stacked int32 [2] = (n_valid, n_alive_in): the previous
-    round's alive counter piggybacks on this round's readback so the host
-    pays ONE ~26ms RTT per round instead of two (the reference pays one,
-    nerf_render.cu:288-292).
-    """
-    s = settings
-    n = t.shape[0]
-    S = s_round if s_round is not None else s.samples_per_round
-    ns = S * n
-    bound = jnp.float32(s.bound)
-
-    t_new, sx, sdt, srd, emit = _march_round(
-        t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s,
-        round_idx=round_idx, perturb_seed=perturb_seed, s_round=S)
-
-    pos01 = sx.reshape(3, ns) / (2.0 * bound) + 0.5
-    dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
-                             (3, S, n)).reshape(3, ns)
-
-    slot_iota = jnp.arange(S, dtype=jnp.int32)
-    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
-    # stable compaction permutation via cumsum + drop-scatter
-    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    n_valid = jnp.maximum(dest[-1] + 1, 0)
-    src = jnp.arange(ns, dtype=jnp.int32)
-    comp = jnp.zeros((ns,), jnp.int32).at[
-        jnp.where(valid, dest, ns)].set(src, mode="drop")
-    pos01_c = pos01[:, comp]
-    dir01_c = dir01[:, comp]
-    if n_alive_in is None:
-        n_alive_in = jnp.int32(-1)
-    counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
-    return t_new, emit, pos01_c, dir01_c, sdt, srd, counts
-
-
 @functools.partial(jax.jit, static_argnames=("apply_fn",))
 def _eval_bucket(apply_fn: Callable, params, pos01_c, dir01_c):
     """Network on a compacted, bucket-sized batch: [3, K] -> ([3,K], [K])."""
     return apply_fn(params, pos01_c, dir01_c)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _round_composite(rgb_k, sigma_k, emit, sdt, srd, t, alive, weight_sum,
-                     depth, rgb, fars, t_new, settings: RenderSettings):
-    """Un-compact network outputs and composite; returns new ray state."""
-    s = settings
-    n = t.shape[0]
-    S = sdt.shape[0]
-    ns = S * n
-    k = sigma_k.shape[0]
-
-    if s.density_scale != 1.0:
-        sigma_k = sigma_k * jnp.float32(s.density_scale)
-    # pad bucket results back to the full lane count, then un-compact:
-    # compacted index of lane i is cumsum(valid)[i]-1 (same dest as the
-    # march computed)
-    slot_iota = jnp.arange(S, dtype=jnp.int32)
-    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
-    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest_c = jnp.clip(dest, 0, k - 1)
-    sigma = jnp.where(valid, sigma_k[dest_c], 0.0).reshape(S, n)
-    rgb_s = jnp.where(valid[None, :], rgb_k[:, dest_c], 0.0).reshape(3, S, n)
-
-    w_sum, d, racc, term = _composite_round(
-        rgb_s, sigma, sdt, srd, emit, t, weight_sum, depth, rgb)
-    alive_new = alive & ~term & (t_new < fars)
-    return w_sum, d, racc, alive_new, jnp.sum(alive_new.astype(jnp.int32))
-
-
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _round_composite_scatter(rgb_k, sigma_k, emit, sdt, srd, t, alive, orig,
-                             w_sum_full, depth_full, rgb_full, fars, t_new,
-                             settings: RenderSettings):
-    """Composite a COMPACTED ray working set into full-chunk accumulators.
-
-    The working set (size M <= chunk) holds only rays still marching;
-    `orig` [M] maps lanes back to original chunk slots (the reference's
-    rays_alive index array, render_utils.h:394-415). Transmittance needs
-    the accumulated weight so far, so w_sum is gathered at `orig`, deltas
-    are computed by the shared compositing scan, and all three
-    accumulators are scatter-added back. Padding lanes (alive=False)
-    emit zero samples, so their deltas are exact zeros.
-
-    Returns (w_sum_full, depth_full, rgb_full, alive_new [M],
-    n_alive [] device scalar — NOT read here; it piggybacks on the next
-    round's march readback).
-    """
-    s = settings
-    m = t.shape[0]
-    S = sdt.shape[0]
-    ns = S * m
-    k = sigma_k.shape[0]
-
-    if s.density_scale != 1.0:
-        sigma_k = sigma_k * jnp.float32(s.density_scale)
-    slot_iota = jnp.arange(S, dtype=jnp.int32)
-    valid = (slot_iota[:, None] < emit[None, :]).reshape(ns)
-    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest_c = jnp.clip(dest, 0, k - 1)
-    sigma = jnp.where(valid, sigma_k[dest_c], 0.0).reshape(S, m)
-    rgb_s = jnp.where(valid[None, :], rgb_k[:, dest_c], 0.0).reshape(3, S, m)
-
-    ws0 = w_sum_full[orig]
-    w_new, d_delta, rgb_delta, term = _composite_round(
-        rgb_s, sigma, sdt, srd, emit, t, ws0,
-        jnp.zeros((m,), jnp.float32), jnp.zeros((3, m), jnp.float32))
-    live = alive.astype(jnp.float32)
-    w_sum_full = w_sum_full.at[orig].add((w_new - ws0) * live)
-    depth_full = depth_full.at[orig].add(d_delta * live)
-    rgb_full = rgb_full.at[:, orig].add(rgb_delta * live[None, :])
-    alive_new = alive & ~term & (t_new < fars)
-    return (w_sum_full, depth_full, rgb_full, alive_new,
-            jnp.sum(alive_new.astype(jnp.int32)))
-
-
 @functools.partial(jax.jit, static_argnames=("m_out",))
-def _compact_rays(alive, t, o_cf, d_cf, fars, orig, m_out: int):
+def _compact_rays(alive, t, o_cf, d_cf, fars, orig, n_emit, m_out: int):
     """Compact alive rays to an m_out-sized prefix (the reference's
     kernel_compact_rays, render_utils.h:394-415, with a static-shape
     cumsum permutation instead of atomicAdd slots).
@@ -446,18 +532,22 @@ def _compact_rays(alive, t, o_cf, d_cf, fars, orig, m_out: int):
     alive_out = comp >= 0
     c = jnp.maximum(comp, 0)
     return (alive_out, t[c], o_cf[:, c], d_cf[:, c],
-            jnp.where(alive_out, fars[c], 0.0), orig[c])
+            jnp.where(alive_out, fars[c], 0.0), orig[c], n_emit[c])
 
 
 def _ray_buckets(chunk: int, allowed=()):
-    """Descending ray working-set sizes for cross-round compaction."""
+    """Descending ray working-set sizes for cross-round compaction.
+
+    Divide-by-4 ladder: march cost scales with the working set, so a
+    coarser ladder leaves big dead-lane populations marching (a /8 ladder
+    measured 65536 lanes marching for 27k alive rays, BASELINE.md)."""
     if allowed:
         return sorted({min(b, chunk) for b in allowed}, reverse=True)
     sizes = []
     m = chunk
     while m >= 4096:
         sizes.append(m)
-        m //= 8
+        m //= 4
     if not sizes:
         sizes = [chunk]
     return sizes
@@ -520,7 +610,6 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     chunk = min(s.ray_chunk, n_total)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
-    s_max = s.samples_per_round
     ladder = _ray_buckets(chunk, s.ray_bucket_set)
 
     out_rgb, out_depth, out_wsum = [], [], []
@@ -548,15 +637,19 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         alive = nr < fr
         frw = fr
         orig = jnp.arange(chunk, dtype=jnp.int32)
+        n_emit = jnp.zeros((chunk,), jnp.int32)
         m = chunk
         n_alive_dev = jnp.sum(alive.astype(jnp.int32))
         n_alive_est = int(_np.asarray(n_alive_dev))  # one initial read
         seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
                                    & 0x7FFFFFFF)
         rounds = 0
-        total_steps = 0
+        # rounds are bounded by the per-ray emission budget (n_emit) and
+        # the voxel-skip fast-forward; the cap below is a safety net
+        max_host_rounds = 8 + 2 * (s.max_infer_steps
+                                   // max(1, s.probes_per_round))
         import time as _time
-        while total_steps < s.max_infer_steps and n_alive_est > 0:
+        while rounds < max_host_rounds and n_alive_est > 0:
             # cross-round ray compaction: smallest ladder bucket that fits
             # the (stale, hence upper-bound) alive estimate; if none fits,
             # keep the current size — compacting into a too-small bucket
@@ -564,45 +657,41 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             target = min((b for b in ladder if b >= n_alive_est),
                          default=m)
             if target < m:
-                alive, t, o_cf, d_cf, frw, orig = _compact_rays(
-                    alive, t, o_cf, d_cf, frw, orig, target)
+                alive, t, o_cf, d_cf, frw, orig, n_emit = _compact_rays(
+                    alive, t, o_cf, d_cf, frw, orig, n_emit, target)
                 m = target
-            # the reference's adaptive num_step = clamp(N/num_alive, 1, 8)
-            # (nerf_render.cu:300), restricted to s_round_set so jit
-            # specializations stay bounded
-            s_round = min(s_max, max(1, chunk // max(n_alive_est, 1)))
-            s_round = max((v for v in s.s_round_set if v <= s_round),
-                          default=min(s.s_round_set))
             t0 = _time.perf_counter()
-            t_new, emit, pos_c, dir_c, sdt, srd, counts = _round_march(
-                density_grid, o_cf, d_cf, frw, t, alive, jnp.int32(rounds),
-                seed_c, s, s_round=s_round, n_alive_in=n_alive_dev)
+            (t_new, valid, pos_c, dir_c, dts, rds, n_emit_new,
+             counts) = _round_march_deep(
+                density_grid, o_cf, d_cf, frw, t, alive, n_emit,
+                jnp.int32(rounds), seed_c, s, n_alive_in=n_alive_dev)
             counts_h = _np.asarray(counts)  # the ONE host RTT this round
             k = int(counts_h[0])
             if int(counts_h[1]) >= 0:
                 n_alive_est = int(counts_h[1])
             t1 = _time.perf_counter()
             if k > 0:
-                sizes = _bucket_sizes(s_round * m, s.bucket_set)
+                sizes = _bucket_sizes(s.probes_per_round * m, s.bucket_set)
                 size = next((sz for sz in sizes if sz >= k), sizes[-1])
                 rgb_k, sigma_k = _eval_bucket(apply_fn, params,
                                               pos_c[:, :size],
                                               dir_c[:, :size])
                 w_sum, depth, rgb, alive, n_alive_dev = \
-                    _round_composite_scatter(
-                        rgb_k, sigma_k, emit, sdt, srd, t, alive, orig,
-                        w_sum, depth, rgb, frw, t_new, s)
+                    _round_composite_deep(
+                        rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
+                        n_emit_new, w_sum, depth, rgb, frw, t_new, s)
             else:
-                alive = alive & (t_new < frw)
+                alive = (alive & (t_new < frw)
+                         & (n_emit_new < s.max_infer_steps))
                 n_alive_dev = jnp.sum(alive.astype(jnp.int32))
             t2 = _time.perf_counter()
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(s_round=s_round, m=m, k=k, n_alive_est=n_alive_est,
+                    dict(m=m, k=k, n_alive_est=n_alive_est,
                          march_s=t1 - t0, eval_comp_s=t2 - t1))
             t = t_new
+            n_emit = n_emit_new
             rounds += 1
-            total_steps += s_round
         max_rounds_seen = max(max_rounds_seen, rounds)
 
         rgb_bias, dd = _finalize_chunk(w_sum, depth, nr, fr, settings)
@@ -650,21 +739,21 @@ class _ShardedRounds:
             core, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False))
 
-    def march(self, s_round):
-        key = ("march", s_round)
+    def march(self):
+        key = "march"
         if key not in self._cache:
             s = self.s
 
-            def core(dg, o, d, fr, t, alive, ri, sd, na):
-                return _round_march(dg, o, d, fr, t, alive, ri, sd, s,
-                                    s_round=s_round, n_alive_in=na[0])
+            def core(dg, o, d, fr, t, alive, ne, ri, sd, na):
+                return _round_march_deep(dg, o, d, fr, t, alive, ne, ri,
+                                         sd, s, n_alive_in=na[0])
 
             self._cache[key] = self._smap(
                 core,
                 (self._p0, self._pc, self._pc, self._pr, self._pr,
-                 self._pr, self._p0, self._p0, self._pr),
-                (self._pr, self._pr, self._pc, self._pc, self._pc,
-                 self._pc, self._pr))
+                 self._pr, self._pr, self._p0, self._p0, self._pr),
+                (self._pr, self._pc, self._pc, self._pc, self._pc,
+                 self._pc, self._pr, self._pr))
         return self._cache[key]
 
     def eval_bucket(self, size):
@@ -685,46 +774,49 @@ class _ShardedRounds:
         if key not in self._cache:
             s = self.s
 
-            def core(rgb_k, sigma_k, emit, sdt, srd, t, alive, orig, w, dep,
-                     rgb, fr, tn):
-                out = _round_composite_scatter(rgb_k, sigma_k, emit, sdt,
-                                               srd, t, alive, orig, w, dep,
-                                               rgb, fr, tn, s)
+            def core(rgb_k, sigma_k, valid, dts, rds, t, alive, orig, ne,
+                     w, dep, rgb, fr, tn):
+                out = _round_composite_deep(rgb_k, sigma_k, valid, dts,
+                                            rds, t, alive, orig, ne, w,
+                                            dep, rgb, fr, tn, s)
                 w2, d2, r2, alive2, n_alive = out
                 return w2, d2, r2, alive2, n_alive[None]
 
             self._cache[key] = self._smap(
                 core,
-                (self._pc, self._pr, self._pr, self._pc, self._pc,
+                (self._pc, self._pr, self._pc, self._pc, self._pc,
                  self._pr, self._pr, self._pr, self._pr, self._pr,
-                 self._pc, self._pr, self._pr),
+                 self._pr, self._pc, self._pr, self._pr),
                 (self._pr, self._pr, self._pc, self._pr, self._pr))
         return self._cache[key]
 
     def compact(self, m_out_local):
         key = ("compact", m_out_local)
         if key not in self._cache:
-            def core(alive, t, o, d, fr, orig):
-                return _compact_rays(alive, t, o, d, fr, orig, m_out_local)
+            def core(alive, t, o, d, fr, orig, ne):
+                return _compact_rays(alive, t, o, d, fr, orig, ne,
+                                     m_out_local)
 
             self._cache[key] = self._smap(
                 core,
                 (self._pr, self._pr, self._pc, self._pc, self._pr,
-                 self._pr),
+                 self._pr, self._pr),
                 (self._pr, self._pr, self._pc, self._pc, self._pr,
-                 self._pr))
+                 self._pr, self._pr))
         return self._cache[key]
 
     def liveness(self):
         """k==0 rounds: drop rays that flew past far (no composite ran)."""
         key = "liveness"
         if key not in self._cache:
-            def core(alive, t_new, fr):
-                alive2 = alive & (t_new < fr)
+            max_steps = self.s.max_infer_steps
+
+            def core(alive, t_new, fr, ne):
+                alive2 = alive & (t_new < fr) & (ne < max_steps)
                 return alive2, jnp.sum(alive2.astype(jnp.int32))[None]
 
             self._cache[key] = self._smap(
-                core, (self._pr, self._pr, self._pr),
+                core, (self._pr, self._pr, self._pr, self._pr),
                 (self._pr, self._pr))
         return self._cache[key]
 
@@ -770,7 +862,6 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     ladder = _ray_buckets(n_local, s.ray_bucket_set)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
-    s_max = s.samples_per_round
 
     params = jax.device_put(params, sh_0)
     density_grid = jax.device_put(density_grid, sh_0)
@@ -807,6 +898,7 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         # accumulator block)
         orig = jax.device_put(
             _np.tile(_np.arange(n_local, dtype=_np.int32), d_cnt), sh_r)
+        n_emit = jax.device_put(_np.zeros(chunk, _np.int32), sh_r)
         m = n_local
         # per-device alive counts (host copies)
         alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
@@ -817,42 +909,43 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
                                    & 0x7FFFFFFF)
         rounds_n = 0
-        total_steps = 0
-        while total_steps < s.max_infer_steps and total_alive > 0:
+        max_host_rounds = 8 + 2 * (s.max_infer_steps
+                                   // max(1, s.probes_per_round))
+        while rounds_n < max_host_rounds and total_alive > 0:
             target = min((b for b in ladder if b >= max_alive),
                          default=m)
             if target < m:
-                alive, t, o_cf, d_cf, frw, orig = rounds.compact(target)(
-                    alive, t, o_cf, d_cf, frw, orig)
+                (alive, t, o_cf, d_cf, frw, orig,
+                 n_emit) = rounds.compact(target)(
+                    alive, t, o_cf, d_cf, frw, orig, n_emit)
                 m = target
-            s_round = min(s_max, max(1, n_local // max(max_alive, 1)))
-            s_round = max((v for v in s.s_round_set if v <= s_round),
-                          default=min(s.s_round_set))
-            t_new, emit, pos_c, dir_c, sdt, srd, counts = rounds.march(
-                s_round)(density_grid, o_cf, d_cf, frw, t, alive,
-                         jnp.int32(rounds_n), seed_c, n_alive_dev)
+            (t_new, valid, pos_c, dir_c, dts, rds, n_emit_new,
+             counts) = rounds.march()(
+                density_grid, o_cf, d_cf, frw, t, alive, n_emit,
+                jnp.int32(rounds_n), seed_c, n_alive_dev)
             counts_h = _np.asarray(counts).reshape(d_cnt, 2)  # ONE RTT
             k_max = int(counts_h[:, 0].max())
             if counts_h[0, 1] >= 0:
                 max_alive = int(counts_h[:, 1].max())
                 total_alive = int(counts_h[:, 1].sum())
             if k_max > 0:
-                sizes = _bucket_sizes(s_round * m, s.bucket_set)
+                sizes = _bucket_sizes(s.probes_per_round * m, s.bucket_set)
                 size = next((sz for sz in sizes if sz >= k_max), sizes[-1])
                 rgb_k, sigma_k = rounds.eval_bucket(size)(params, pos_c,
                                                           dir_c)
                 w_sum, depth, rgb, alive, n_alive_dev = rounds.composite()(
-                    rgb_k, sigma_k, emit, sdt, srd, t, alive, orig, w_sum,
-                    depth, rgb, frw, t_new)
+                    rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
+                    n_emit_new, w_sum, depth, rgb, frw, t_new)
             else:
-                alive, n_alive_dev = rounds.liveness()(alive, t_new, frw)
+                alive, n_alive_dev = rounds.liveness()(alive, t_new, frw,
+                                                       n_emit_new)
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(s_round=s_round, m=m, k=k_max,
+                    dict(m=m, k=k_max,
                          max_alive=max_alive, total_alive=total_alive))
             t = t_new
+            n_emit = n_emit_new
             rounds_n += 1
-            total_steps += s_round
         max_rounds_seen = max(max_rounds_seen, rounds_n)
 
         rgb_bias, dd = rounds.finalize()(w_sum, depth, nr, fr_full)
