@@ -59,6 +59,19 @@ class RenderResult(NamedTuple):
     n_rounds: jnp.ndarray    # [] march rounds executed (max over chunks)
 
 
+def _skip_trip_bound(s: RenderSettings) -> int:
+    """Exact trip bound for the voxel-skip do-while: each step is
+    >= MIN_STEPSIZE and the remaining distance to the voxel exit is at
+    most the voxel diagonal sqrt(3)*2*bound/H, inflated by the
+    reference's H/(H-1) boundary quirk. Margin +2 for the float edges;
+    skip_iters remains the user-facing cap."""
+    import math
+
+    diag = math.sqrt(3.0) * 2.0 * s.bound / s.grid_h
+    diag *= s.grid_h / max(1, s.grid_h - 1)
+    return min(s.skip_iters, int(math.ceil(diag / MIN_STEPSIZE)) + 2)
+
+
 def _mip_level(x_cf, cascade: int):
     """mip_from_pos (render_utils.h:148-155): frexp exponent of max |coord|.
 
@@ -144,9 +157,11 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
         # The reference's do-while steps until t >= tt even when tt
         # overshoots into the next voxel (its boundary formula divides by
         # H-1 while the quantization divides by H) — occupied-voxel entry
-        # points can be deliberately skipped past. Exact reproduction needs
-        # the full loop, not a truncated unroll: a masked while_loop with
-        # `skip_iters` as a safety cap only.
+        # points can be deliberately skipped past. Reproduced exactly with
+        # a FIXED-trip fori_loop: dt >= dt_min bounds the trip count at
+        # ceil(voxel diagonal / dt_min) (see _skip_trip_bound) and a fixed
+        # trip count avoids the per-iteration any() reduction that made a
+        # while_loop here cost ~1ms/probe (BASELINE.md).
         bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
                / float(h - 1) * 2.0 - 1.0) * mip_bound[None, :]
         t_axes = (bnd - x) * rd_inv
@@ -154,17 +169,12 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
         tt_eff = jnp.where(skip_now, tt, -jnp.inf)
         t_skip = t + dt  # do-while executes once unconditionally
 
-        def skip_cond(carry):
-            k, ts = carry
-            return (k < s.skip_iters) & jnp.any(ts < tt_eff)
-
-        def skip_step(carry):
-            k, ts = carry
+        def skip_step(k, ts):
             step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
-            return k + 1, jnp.where(ts < tt_eff, ts + step, ts)
+            return jnp.where(ts < tt_eff, ts + step, ts)
 
-        _, t_skip = jax.lax.while_loop(skip_cond, skip_step,
-                                       (jnp.int32(0), t_skip))
+        t_skip = jax.lax.fori_loop(0, _skip_trip_bound(s), skip_step,
+                                   t_skip)
 
         t_new = jnp.where(emit_now, t_emit, jnp.where(skip_now, t_skip, t))
         last_t = jnp.where(emit_now, t_emit, last_t)
@@ -326,13 +336,8 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         t = t + jnp.float32(MIN_STEPSIZE) \
             * jax.random.uniform(key, t.shape)
 
-    xs0 = jnp.zeros((3, P, m), jnp.float32)
-    dts0 = jnp.zeros((P, m), jnp.float32)
-    rds0 = jnp.zeros((P, m), jnp.float32)
-    valid0 = jnp.zeros((P, m), bool)
-
-    def probe(carry):
-        i, t, last_t, n_emit, xs, dts, rds, valid = carry
+    def probe(carry, _):
+        t, last_t, n_emit = carry
         active = alive & (t < far) & (n_emit < max_steps)
 
         x = jnp.clip(rays_o + t[None, :] * rays_d, -bound, bound)
@@ -353,15 +358,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
         emit_now = active & occ
         skip_now = active & ~occ
-
-        # emission: probe-slot i of each buffer (plain indexed write)
         t_emit = t + dt
-        xs = jax.lax.dynamic_update_slice(xs, x[:, None, :], (0, i, 0))
-        dts = jax.lax.dynamic_update_slice(dts, dt[None, :], (i, 0))
-        rds = jax.lax.dynamic_update_slice(
-            rds, (t_emit - last_t)[None, :], (i, 0))
-        valid = jax.lax.dynamic_update_slice(
-            valid, emit_now[None, :], (i, 0))
 
         # voxel skip (render_utils.h:641-651) — see _march_round
         bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
@@ -371,31 +368,25 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         tt_eff = jnp.where(skip_now, tt, -jnp.inf)
         t_skip = t + dt
 
-        def skip_cond(c):
-            k, ts = c
-            return (k < s.skip_iters) & jnp.any(ts < tt_eff)
-
-        def skip_step(c):
-            k, ts = c
+        def skip_step(k, ts):
             step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
-            return k + 1, jnp.where(ts < tt_eff, ts + step, ts)
+            return jnp.where(ts < tt_eff, ts + step, ts)
 
-        _, t_skip = jax.lax.while_loop(skip_cond, skip_step,
-                                       (jnp.int32(0), t_skip))
+        t_skip = jax.lax.fori_loop(0, _skip_trip_bound(s), skip_step,
+                                   t_skip)
 
         t_new = jnp.where(emit_now, t_emit,
                           jnp.where(skip_now, t_skip, t))
+        rd = t_emit - last_t
         last_t = jnp.where(emit_now, t_emit, last_t)
         n_emit = n_emit + emit_now.astype(jnp.int32)
-        return i + 1, t_new, last_t, n_emit, xs, dts, rds, valid
+        # per-probe outputs stack into [P, ...] — no buffer carries (a
+        # while_loop carrying [P,m] buffers copied them every probe)
+        return (t_new, last_t, n_emit), (x, dt, rd, emit_now)
 
-    def probe_cond(carry):
-        i, t, _, n_emit, *_ = carry
-        return (i < P) & jnp.any(alive & (t < far) & (n_emit < max_steps))
-
-    _, t, _, n_emit, xs, dts, rds, valid = jax.lax.while_loop(
-        probe_cond, probe,
-        (jnp.int32(0), t, t, n_emit, xs0, dts0, rds0, valid0))
+    (t, _, n_emit), (xs_p, dts, rds, valid) = jax.lax.scan(
+        probe, (t, t, n_emit), None, length=P)
+    xs = jnp.moveaxis(xs_p, 0, 1)  # [P, 3, m] -> [3, P, m]
     return t, xs, dts, rds, valid, n_emit
 
 
@@ -404,8 +395,9 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
                       n_emit, round_idx, perturb_seed,
                       settings: RenderSettings, n_alive_in=None):
     """Deep march + sample compaction; probe-major counterpart of
-    _round_march. Returns (t_new, valid [P,m], pos01_c, dir01_c, dts, rds,
-    n_emit_new, counts[2])."""
+    _round_march. Returns (t_new, valid [P,m], packed [P*m, 8] sample
+    rows, comp [P*m] compaction indices, dts, rds, n_emit_new,
+    counts[2])."""
     s = settings
     m = t.shape[0]
     P = s.probes_per_round
@@ -416,22 +408,28 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
         round_idx=round_idx, perturb_seed=perturb_seed)
 
-    pos01 = xs.reshape(3, ns) / (2.0 * bound) + 0.5
-    dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
-                             (3, P, m)).reshape(3, ns)
+    # packed sample rows [ns, 8]: pos01 xyz | dir01 xyz | pad2. The eval
+    # gathers rows at comp[:bucket] — ONE 32-byte descriptor per VALID
+    # sample. (The previous design gathered pos/dir for ALL ns lanes:
+    # ~2M descriptors/round at m=65536, ~2x the march itself.)
+    pos01_r = (xs / (2.0 * bound) + 0.5).reshape(3, ns).T  # [ns, 3]
+    dir01_r = jnp.broadcast_to((rays_d_cf.T * 0.5 + 0.5)[None, :, :],
+                               (P, m, 3)).reshape(ns, 3)
+    packed = jnp.concatenate(
+        [pos01_r, dir01_r, jnp.zeros((ns, 2), jnp.float32)], axis=1)
 
     vflat = valid.reshape(ns)
     dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
     n_valid = jnp.maximum(dest[-1] + 1, 0)
     src = jnp.arange(ns, dtype=jnp.int32)
-    comp = jnp.zeros((ns,), jnp.int32).at[
+    # comp[j] = flat lane of the j-th valid sample; padding = ns so the
+    # composite's row-scatter drops it (mode="drop")
+    comp = jnp.full((ns,), ns, jnp.int32).at[
         jnp.where(vflat, dest, ns)].set(src, mode="drop")
-    pos01_c = pos01[:, comp]
-    dir01_c = dir01[:, comp]
     if n_alive_in is None:
         n_alive_in = jnp.int32(-1)
     counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
-    return t_new, valid, pos01_c, dir01_c, dts, rds, n_emit_new, counts
+    return t_new, valid, packed, comp, dts, rds, n_emit_new, counts
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
@@ -462,24 +460,30 @@ def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
-def _round_composite_deep(rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
+def _round_composite_deep(out_rows, comp, valid, dts, rds, t, alive, orig,
                           n_emit, w_sum_full, depth_full, rgb_full, fars,
                           t_new, settings: RenderSettings):
-    """Probe-major counterpart of _round_composite_scatter."""
+    """Probe-major compositing of bucketed eval results into full-chunk
+    accumulators.
+
+    out_rows [size, 4] = (r, g, b, raw-activated sigma) per valid sample;
+    comp [ns] maps compacted order back to flat (probe, lane) slots
+    (padding entries = ns, dropped by the row scatter — size descriptors
+    instead of the 2x ns-lane un-compaction gathers of the old design).
+    """
     s = settings
     m = t.shape[0]
     P = dts.shape[0]
     ns = P * m
-    k = sigma_k.shape[0]
+    size = out_rows.shape[0]
 
     if s.density_scale != 1.0:
-        sigma_k = sigma_k * jnp.float32(s.density_scale)
-    vflat = valid.reshape(ns)
-    dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-    dest_c = jnp.clip(dest, 0, k - 1)
-    sigma = jnp.where(vflat, sigma_k[dest_c], 0.0).reshape(P, m)
-    rgb_s = jnp.where(vflat[None, :], rgb_k[:, dest_c],
-                      0.0).reshape(3, P, m)
+        out_rows = out_rows * jnp.asarray(
+            [1.0, 1.0, 1.0, s.density_scale], jnp.float32)
+    scat = jnp.zeros((ns, 4), jnp.float32).at[comp[:size]].set(
+        out_rows, mode="drop")
+    sigma = scat[:, 3].reshape(P, m)
+    rgb_s = scat[:, :3].T.reshape(3, P, m)
 
     ws0 = w_sum_full[orig]
     w_new, d_delta, rgb_delta, term = _composite_round_masked(
@@ -508,10 +512,22 @@ def _round_composite_deep(rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
 # round, negligible against a 10^4x binary-quality gap.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("apply_fn",))
-def _eval_bucket(apply_fn: Callable, params, pos01_c, dir01_c):
-    """Network on a compacted, bucket-sized batch: [3, K] -> ([3,K], [K])."""
-    return apply_fn(params, pos01_c, dir01_c)
+def _eval_rows_core(apply_fn: Callable, params, packed, comp, size: int):
+    """Gather `size` packed sample rows (comp[:size], 32B descriptors) and
+    run the network; returns result rows [size, 4] = rgb|sigma ready for
+    the composite's row-scatter."""
+    ns = packed.shape[0]
+    rows = packed[jnp.minimum(comp[:size], ns - 1)]  # [size, 8]
+    pos01_cf = rows[:, 0:3].T
+    dir01_cf = rows[:, 3:6].T
+    rgb, sigma = apply_fn(params, pos01_cf, dir01_cf)
+    return jnp.concatenate([rgb.T, sigma[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "size"))
+def _eval_bucket_rows(apply_fn: Callable, params, packed, comp,
+                      size: int):
+    return _eval_rows_core(apply_fn, params, packed, comp, size)
 
 
 @functools.partial(jax.jit, static_argnames=("m_out",))
@@ -581,27 +597,29 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          perturb_seed=None, stats=None) -> RenderResult:
     """Host-looped equivalent of render_rays (single device).
 
-    Each round: (1) march + sample compaction on device, (2) the host
-    reads the valid-sample count (the analog of the reference's
-    alive-counter readback, nerf_render.cu:288-292) and picks the
-    smallest static bucket that fits, (3) the network runs on just that
-    bucket (jit re-specializes per size), (4) un-compact + composite into
-    full-chunk accumulators.
+    Each round: (1) deep march (up to probes_per_round samples per ray)
+    + sample compaction on device, (2) the host reads the valid-sample
+    count (the analog of the reference's alive-counter readback,
+    nerf_render.cu:288-292) and picks the smallest static bucket that
+    fits, (3) the network runs on just that bucket, (4) un-compact +
+    composite into full-chunk accumulators.
 
     Two compaction levels recover the reference's wins with static shapes:
       - samples within a round (kernel_compact_rays applied to the sample
-        batch): the network sees a bucket-sized prefix, not all S*N lanes;
-      - RAYS across rounds: when the alive count fits a smaller power-of-8
-        bucket, the working set (t/origins/dirs/fars/orig-index) is
-        compacted so the march itself stops paying for dead lanes
-        (nerf_render.cu:284-302). March was ~40% of warm frame time
-        pre-compaction (BASELINE.md).
+        batch): the network sees a bucket-sized prefix, not all P*N lanes;
+      - RAYS across rounds: when the alive count fits a smaller ladder
+        bucket, the working set (t/origins/dirs/fars/orig/n_emit) is
+        compacted so the march stops paying for dead lanes
+        (nerf_render.cu:284-302).
 
-    One host RTT per round: the previous round's alive counter piggybacks
-    on this round's sample-count readback (counts[2] from _round_march),
-    so s_round / compaction / termination decisions run one round stale —
-    alive counts only decrease, so stale estimates are upper bounds and
-    every compaction stays valid.
+    PIPELINED over chunks: the per-round count readback costs a ~26ms
+    relay RTT; chunks are round-robined and each chunk's counts are
+    fetched with copy_to_host_async while the device runs other chunks'
+    rounds, so the RTT overlaps device work instead of serializing it.
+    Control decisions (bucket, compaction, termination) run on stale
+    counts — upper bounds, since alive counts only decrease — while the
+    math itself is ordered by device-side data dependencies, so the frame
+    is bit-identical to the sequential loop.
     """
     import numpy as _np
 
@@ -611,10 +629,14 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
     ladder = _ray_buckets(chunk, s.ray_bucket_set)
+    max_host_rounds = 8 + 2 * (s.max_infer_steps
+                               // max(1, s.probes_per_round))
 
-    out_rgb, out_depth, out_wsum = [], [], []
-    max_rounds_seen = 0
-    for start in range(0, n_total, chunk):
+    class _Chunk:
+        pass
+
+    states = []
+    for ci, start in enumerate(range(0, n_total, chunk)):
         end = min(start + chunk, n_total)
         n = end - start
         pad = chunk - n
@@ -627,77 +649,96 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             d_cf = jnp.pad(d_cf, ((0, 0), (0, pad)), constant_values=1.0)
             nr = jnp.pad(nr, (0, pad), constant_values=_FLT_MAX)
             fr = jnp.pad(fr, (0, pad), constant_values=_FLT_MAX)
+        st = _Chunk()
+        st.index, st.n, st.nr, st.fr = ci, n, nr, fr
+        st.o_cf, st.d_cf, st.frw = o_cf, d_cf, fr
+        st.w_sum = jnp.zeros((chunk,), jnp.float32)
+        st.depth = jnp.zeros((chunk,), jnp.float32)
+        st.rgb = jnp.zeros((3, chunk), jnp.float32)
+        st.t = nr
+        st.alive = nr < fr
+        st.orig = jnp.arange(chunk, dtype=jnp.int32)
+        st.n_emit = jnp.zeros((chunk,), jnp.int32)
+        st.m = chunk
+        st.n_alive_dev = jnp.sum(st.alive.astype(jnp.int32))
+        st.n_alive_est = chunk  # upper bound; refined by the first counts
+        st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
+        st.rounds = 0
+        st.pending = None  # in-flight counts of the last issued march
+        states.append(st)
 
-        # full-chunk accumulators (always original-slot indexed)
-        w_sum = jnp.zeros((chunk,), jnp.float32)
-        depth = jnp.zeros((chunk,), jnp.float32)
-        rgb = jnp.zeros((3, chunk), jnp.float32)
-        # compactable working set
-        t = nr
-        alive = nr < fr
-        frw = fr
-        orig = jnp.arange(chunk, dtype=jnp.int32)
-        n_emit = jnp.zeros((chunk,), jnp.int32)
-        m = chunk
-        n_alive_dev = jnp.sum(alive.astype(jnp.int32))
-        n_alive_est = int(_np.asarray(n_alive_dev))  # one initial read
-        seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
-                                   & 0x7FFFFFFF)
-        rounds = 0
-        # rounds are bounded by the per-ray emission budget (n_emit) and
-        # the voxel-skip fast-forward; the cap below is a safety net
-        max_host_rounds = 8 + 2 * (s.max_infer_steps
-                                   // max(1, s.probes_per_round))
-        import time as _time
-        while rounds < max_host_rounds and n_alive_est > 0:
-            # cross-round ray compaction: smallest ladder bucket that fits
-            # the (stale, hence upper-bound) alive estimate; if none fits,
-            # keep the current size — compacting into a too-small bucket
-            # would drop live rays
-            target = min((b for b in ladder if b >= n_alive_est),
-                         default=m)
-            if target < m:
-                alive, t, o_cf, d_cf, frw, orig, n_emit = _compact_rays(
-                    alive, t, o_cf, d_cf, frw, orig, n_emit, target)
-                m = target
-            t0 = _time.perf_counter()
-            (t_new, valid, pos_c, dir_c, dts, rds, n_emit_new,
-             counts) = _round_march_deep(
-                density_grid, o_cf, d_cf, frw, t, alive, n_emit,
-                jnp.int32(rounds), seed_c, s, n_alive_in=n_alive_dev)
-            counts_h = _np.asarray(counts)  # the ONE host RTT this round
+    from collections import deque
+
+    ring = deque(states)
+    max_rounds_seen = 0
+    import time as _time
+    while ring:
+        st = ring.popleft()
+        done = False
+        if st.pending is not None:
+            t1 = _time.perf_counter()
+            counts_h = _np.asarray(st.pending)  # overlapped readback
+            st.pending = None
             k = int(counts_h[0])
             if int(counts_h[1]) >= 0:
-                n_alive_est = int(counts_h[1])
-            t1 = _time.perf_counter()
+                st.n_alive_est = int(counts_h[1])
             if k > 0:
-                sizes = _bucket_sizes(s.probes_per_round * m, s.bucket_set)
+                sizes = _bucket_sizes(s.probes_per_round * st.m,
+                                      s.bucket_set)
                 size = next((sz for sz in sizes if sz >= k), sizes[-1])
-                rgb_k, sigma_k = _eval_bucket(apply_fn, params,
-                                              pos_c[:, :size],
-                                              dir_c[:, :size])
-                w_sum, depth, rgb, alive, n_alive_dev = \
-                    _round_composite_deep(
-                        rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
-                        n_emit_new, w_sum, depth, rgb, frw, t_new, s)
+                out_rows = _eval_bucket_rows(apply_fn, params, st.packed,
+                                             st.comp, size)
+                (st.w_sum, st.depth, st.rgb, st.alive,
+                 st.n_alive_dev) = _round_composite_deep(
+                    out_rows, st.comp, st.valid, st.dts, st.rds, st.t,
+                    st.alive, st.orig, st.n_emit_new, st.w_sum, st.depth,
+                    st.rgb, st.frw, st.t_new, s)
             else:
-                alive = (alive & (t_new < frw)
-                         & (n_emit_new < s.max_infer_steps))
-                n_alive_dev = jnp.sum(alive.astype(jnp.int32))
-            t2 = _time.perf_counter()
+                st.alive = (st.alive & (st.t_new < st.frw)
+                            & (st.n_emit_new < s.max_infer_steps))
+                st.n_alive_dev = jnp.sum(st.alive.astype(jnp.int32))
+            st.t = st.t_new
+            st.n_emit = st.n_emit_new
+            st.rounds += 1
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(m=m, k=k, n_alive_est=n_alive_est,
-                         march_s=t1 - t0, eval_comp_s=t2 - t1))
-            t = t_new
-            n_emit = n_emit_new
-            rounds += 1
-        max_rounds_seen = max(max_rounds_seen, rounds)
+                    dict(chunk=st.index, m=st.m, k=k,
+                         n_alive_est=st.n_alive_est,
+                         march_s=t1 - st.t_issue,
+                         eval_comp_s=_time.perf_counter() - t1))
+            done = (st.n_alive_est <= 0 or st.rounds >= max_host_rounds)
 
-        rgb_bias, dd = _finalize_chunk(w_sum, depth, nr, fr, settings)
-        out_rgb.append((rgb + rgb_bias[None, :])[:, :n])
-        out_depth.append(dd[:n])
-        out_wsum.append(w_sum[:n])
+        if not done:
+            target = min((b for b in ladder if b >= st.n_alive_est),
+                         default=st.m)
+            if target < st.m:
+                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                 st.n_emit) = _compact_rays(
+                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                    st.n_emit, target)
+                st.m = target
+            st.t_issue = _time.perf_counter()
+            (st.t_new, st.valid, st.packed, st.comp, st.dts, st.rds,
+             st.n_emit_new, counts) = _round_march_deep(
+                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
+                st.n_emit, jnp.int32(st.rounds), st.seed_c, s,
+                n_alive_in=st.n_alive_dev)
+            try:
+                counts.copy_to_host_async()
+            except AttributeError:
+                pass
+            st.pending = counts
+            ring.append(st)
+        else:
+            max_rounds_seen = max(max_rounds_seen, st.rounds)
+
+    out_rgb, out_depth, out_wsum = [], [], []
+    for st in states:
+        rgb_bias, dd = _finalize_chunk(st.w_sum, st.depth, st.nr, st.fr,
+                                       settings)
+        out_rgb.append((st.rgb + rgb_bias[None, :])[:, :st.n])
+        out_depth.append(dd[:st.n])
+        out_wsum.append(st.w_sum[:st.n])
 
     rgb = jnp.concatenate(out_rgb, axis=1)
     return RenderResult(rgb=rgb.T,
@@ -752,7 +793,9 @@ class _ShardedRounds:
                 core,
                 (self._p0, self._pc, self._pc, self._pr, self._pr,
                  self._pr, self._pr, self._p0, self._p0, self._pr),
-                (self._pr, self._pc, self._pc, self._pc, self._pc,
+                # t_new, valid[P,m], packed[ns,8], comp[ns], dts, rds,
+                # n_emit, counts
+                (self._pr, self._pc, self._pr, self._pr, self._pc,
                  self._pc, self._pr, self._pr))
         return self._cache[key]
 
@@ -761,12 +804,12 @@ class _ShardedRounds:
         if key not in self._cache:
             apply_fn = self.apply_fn
 
-            def core(p, pc, dc):
-                return apply_fn(p, pc[:, :size], dc[:, :size])
+            def core(p, packed, comp):
+                return (_eval_rows_core(apply_fn, p, packed, comp, size),)
 
             self._cache[key] = self._smap(
-                core, (self._p0, self._pc, self._pc),
-                (self._pc, self._pr))
+                core, (self._p0, self._pr, self._pr),
+                (self._pr,))
         return self._cache[key]
 
     def composite(self):
@@ -774,9 +817,9 @@ class _ShardedRounds:
         if key not in self._cache:
             s = self.s
 
-            def core(rgb_k, sigma_k, valid, dts, rds, t, alive, orig, ne,
+            def core(out_rows, comp, valid, dts, rds, t, alive, orig, ne,
                      w, dep, rgb, fr, tn):
-                out = _round_composite_deep(rgb_k, sigma_k, valid, dts,
+                out = _round_composite_deep(out_rows, comp, valid, dts,
                                             rds, t, alive, orig, ne, w,
                                             dep, rgb, fr, tn, s)
                 w2, d2, r2, alive2, n_alive = out
@@ -784,7 +827,7 @@ class _ShardedRounds:
 
             self._cache[key] = self._smap(
                 core,
-                (self._pc, self._pr, self._pc, self._pc, self._pc,
+                (self._pr, self._pr, self._pc, self._pc, self._pc,
                  self._pr, self._pr, self._pr, self._pr, self._pr,
                  self._pr, self._pc, self._pr, self._pr),
                 (self._pr, self._pr, self._pc, self._pr, self._pr))
@@ -919,7 +962,7 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                  n_emit) = rounds.compact(target)(
                     alive, t, o_cf, d_cf, frw, orig, n_emit)
                 m = target
-            (t_new, valid, pos_c, dir_c, dts, rds, n_emit_new,
+            (t_new, valid, packed, comp, dts, rds, n_emit_new,
              counts) = rounds.march()(
                 density_grid, o_cf, d_cf, frw, t, alive, n_emit,
                 jnp.int32(rounds_n), seed_c, n_alive_dev)
@@ -931,10 +974,10 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
             if k_max > 0:
                 sizes = _bucket_sizes(s.probes_per_round * m, s.bucket_set)
                 size = next((sz for sz in sizes if sz >= k_max), sizes[-1])
-                rgb_k, sigma_k = rounds.eval_bucket(size)(params, pos_c,
-                                                          dir_c)
+                (out_rows,) = rounds.eval_bucket(size)(params, packed,
+                                                       comp)
                 w_sum, depth, rgb, alive, n_alive_dev = rounds.composite()(
-                    rgb_k, sigma_k, valid, dts, rds, t, alive, orig,
+                    out_rows, comp, valid, dts, rds, t, alive, orig,
                     n_emit_new, w_sum, depth, rgb, frw, t_new)
             else:
                 alive, n_alive_dev = rounds.liveness()(alive, t_new, frw,
