@@ -300,22 +300,35 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 
 
 def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
-                      s: RenderSettings, n_emit, round_idx=None,
+                      s: RenderSettings, n_emit, shadow, round_idx=None,
                       perturb_seed=None):
-    """Probe-major march: up to P samples per ray per round.
+    """Vectorized march: P trajectory steps per ray per round.
 
-    Same per-ray step sequence as _march_round (kernel_march_rays,
-    render_utils.h:524-655) but each probe writes its outcome straight to
-    probe slot i of [*, P, m] buffers via dynamic_update_slice — no
-    per-probe one-hot slotting (which measured ~60ms/round at m=65536,
-    BASELINE.md), and a ray can emit its entire sample budget for the
-    round instead of the reference's num_step<=8 (its per-GPU sample
-    buffer limit, nerf_render.cu:300, which a TPU chunk does not share).
+    The key structural fact (verified against kernel_march_rays,
+    render_utils.h:524-655): the reference's t-sequence is the pure
+    recurrence t_{k+1} = t_k + clamp(t_k*dt_gamma, dt_min, dt_max)
+    REGARDLESS of occupancy — the voxel-skip do-while advances t by the
+    same rule and exists only to avoid per-step occupancy lookups on a
+    GPU. On TPU the economics invert: one BATCHED [P*m] occupancy gather
+    runs at full descriptor rate, while P small per-probe gathers each
+    pay ~0.4ms of fixed overhead plus ~0.7ms/iteration of loop machinery
+    (measured: 85ms/round sequential vs ~20ms batched at m=65536, P=32).
+
+    Three fully unrolled passes, no lax control flow:
+      1. trajectory + voxel ids [P, m] (closed form from t),
+      2. ONE gather of all P*m occupancy probes,
+      3. emission logic with the reference's skip-shadow semantics: a
+         step inside an empty voxel opens a no-emission shadow until the
+         tt boundary (computed with the reference's H-1 overshoot quirk);
+         shadowed steps never emit even if they land in occupied voxels —
+         exactly the do-while's intermediate steps. `shadow` [m] carries
+         a shadow across round boundaries (the reference's loop has no
+         round boundaries to reset it).
 
     n_emit [m]: cumulative samples emitted per ray (the reference's
     per-ray step budget, m_max_infer_steps).
     Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
-    n_emit_new [m]).
+    n_emit_new [m], shadow_new [m]).
     """
     m = t.shape[0]
     P = s.probes_per_round
@@ -336,11 +349,12 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         t = t + jnp.float32(MIN_STEPSIZE) \
             * jax.random.uniform(key, t.shape)
 
-    def probe(carry, _):
-        t, last_t, n_emit = carry
-        active = alive & (t < far) & (n_emit < max_steps)
-
-        x = jnp.clip(rays_o + t[None, :] * rays_d, -bound, bound)
+    # ---- pass 1: trajectory, voxel ids, skip boundaries (unrolled) ----
+    ts, dts_l, xs_l, idx_l, tt_l = [], [], [], [], []
+    tk = t
+    for _ in range(P):
+        dt_k = jnp.clip(tk * dt_gamma, dt_min, dt_max)
+        x = jnp.clip(rays_o + tk[None, :] * rays_d, -bound, bound)
         if s.cascade > 1:
             level = _mip_level(x, s.cascade)
             mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)),
@@ -353,60 +367,65 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         idx = nxyz[0] * (h * h) + nxyz[1] * h + nxyz[2]
         if level is not None:
             idx = idx + level * (h * h * h)
-        occ = density_grid[idx] > density_thresh
-
-        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
-        emit_now = active & occ
-        skip_now = active & ~occ
-        t_emit = t + dt
-
-        # voxel skip (render_utils.h:641-651) — see _march_round
+        # skip boundary with the reference's H-1 quirk (render_utils.h:
+        # 641-647)
         bnd = ((nxyz.astype(jnp.float32) + 0.5 + 0.5 * sgn)
                / float(h - 1) * 2.0 - 1.0) * mip_bound[None, :]
         t_axes = (bnd - x) * rd_inv
-        tt = t + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
-        tt_eff = jnp.where(skip_now, tt, -jnp.inf)
-        t_skip = t + dt
+        tt = tk + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
+        ts.append(tk)
+        dts_l.append(dt_k)
+        xs_l.append(x)
+        idx_l.append(idx)
+        tt_l.append(tt)
+        tk = tk + dt_k
+    t_new = jnp.where(alive, tk, t)
 
-        def skip_step(k, ts):
-            step = jnp.clip(ts * dt_gamma, dt_min, dt_max)
-            return jnp.where(ts < tt_eff, ts + step, ts)
+    # ---- pass 2: ONE batched occupancy gather -------------------------
+    idx_all = jnp.stack(idx_l, axis=0)          # [P, m]
+    occ_all = density_grid[idx_all] > density_thresh
 
-        t_skip = jax.lax.fori_loop(0, _skip_trip_bound(s), skip_step,
-                                   t_skip)
+    # ---- pass 3: emission with skip-shadow semantics (unrolled) -------
+    valid_l, rds_l = [], []
+    last_t = t
+    for k in range(P):
+        tk, dt_k, tt = ts[k], dts_l[k], tt_l[k]
+        unshadowed = tk >= shadow
+        can = alive & (tk < far) & (n_emit < max_steps) & unshadowed
+        occ = occ_all[k]
+        emit_k = can & occ
+        start_skip = can & ~occ
+        shadow = jnp.where(start_skip, tt, shadow)
+        t_emit = tk + dt_k
+        rds_l.append(t_emit - last_t)
+        last_t = jnp.where(emit_k, t_emit, last_t)
+        n_emit = n_emit + emit_k.astype(jnp.int32)
+        valid_l.append(emit_k)
 
-        t_new = jnp.where(emit_now, t_emit,
-                          jnp.where(skip_now, t_skip, t))
-        rd = t_emit - last_t
-        last_t = jnp.where(emit_now, t_emit, last_t)
-        n_emit = n_emit + emit_now.astype(jnp.int32)
-        # per-probe outputs stack into [P, ...] — no buffer carries (a
-        # while_loop carrying [P,m] buffers copied them every probe)
-        return (t_new, last_t, n_emit), (x, dt, rd, emit_now)
-
-    (t, _, n_emit), (xs_p, dts, rds, valid) = jax.lax.scan(
-        probe, (t, t, n_emit), None, length=P)
-    xs = jnp.moveaxis(xs_p, 0, 1)  # [P, 3, m] -> [3, P, m]
-    return t, xs, dts, rds, valid, n_emit
+    xs = jnp.stack(xs_l, axis=1)      # [3, P, m]
+    dts = jnp.stack(dts_l, axis=0)    # [P, m]
+    rds = jnp.stack(rds_l, axis=0)
+    valid = jnp.stack(valid_l, axis=0)
+    return t_new, xs, dts, rds, valid, n_emit, shadow
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
-                      n_emit, round_idx, perturb_seed,
+                      n_emit, shadow, round_idx, perturb_seed,
                       settings: RenderSettings, n_alive_in=None):
     """Deep march + sample compaction; probe-major counterpart of
     _round_march. Returns (t_new, valid [P,m], packed [P*m, 8] sample
     rows, comp [P*m] compaction indices, dts, rds, n_emit_new,
-    counts[2])."""
+    shadow_new, counts[2])."""
     s = settings
     m = t.shape[0]
     P = s.probes_per_round
     ns = P * m
     bound = jnp.float32(s.bound)
 
-    t_new, xs, dts, rds, valid, n_emit_new = _march_round_deep(
+    t_new, xs, dts, rds, valid, n_emit_new, shadow_new = _march_round_deep(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
-        round_idx=round_idx, perturb_seed=perturb_seed)
+        shadow, round_idx=round_idx, perturb_seed=perturb_seed)
 
     # packed sample rows [ns, 8]: pos01 xyz | dir01 xyz | pad2. The eval
     # gathers rows at comp[:bucket] — ONE 32-byte descriptor per VALID
@@ -429,7 +448,8 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
     if n_alive_in is None:
         n_alive_in = jnp.int32(-1)
     counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
-    return t_new, valid, packed, comp, dts, rds, n_emit_new, counts
+    return (t_new, valid, packed, comp, dts, rds, n_emit_new, shadow_new,
+            counts)
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
@@ -531,7 +551,8 @@ def _eval_bucket_rows(apply_fn: Callable, params, packed, comp,
 
 
 @functools.partial(jax.jit, static_argnames=("m_out",))
-def _compact_rays(alive, t, o_cf, d_cf, fars, orig, n_emit, m_out: int):
+def _compact_rays(alive, t, o_cf, d_cf, fars, orig, n_emit, shadow,
+                  m_out: int):
     """Compact alive rays to an m_out-sized prefix (the reference's
     kernel_compact_rays, render_utils.h:394-415, with a static-shape
     cumsum permutation instead of atomicAdd slots).
@@ -548,7 +569,8 @@ def _compact_rays(alive, t, o_cf, d_cf, fars, orig, n_emit, m_out: int):
     alive_out = comp >= 0
     c = jnp.maximum(comp, 0)
     return (alive_out, t[c], o_cf[:, c], d_cf[:, c],
-            jnp.where(alive_out, fars[c], 0.0), orig[c], n_emit[c])
+            jnp.where(alive_out, fars[c], 0.0), orig[c], n_emit[c],
+            shadow[c])
 
 
 def _ray_buckets(chunk: int, allowed=()):
@@ -659,6 +681,7 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         st.alive = nr < fr
         st.orig = jnp.arange(chunk, dtype=jnp.int32)
         st.n_emit = jnp.zeros((chunk,), jnp.int32)
+        st.shadow = jnp.zeros((chunk,), jnp.float32)
         st.m = chunk
         st.n_alive_dev = jnp.sum(st.alive.astype(jnp.int32))
         st.n_alive_est = chunk  # upper bound; refined by the first counts
@@ -713,15 +736,15 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          default=st.m)
             if target < st.m:
                 (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                 st.n_emit) = _compact_rays(
+                 st.n_emit, st.shadow) = _compact_rays(
                     st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                    st.n_emit, target)
+                    st.n_emit, st.shadow, target)
                 st.m = target
             st.t_issue = _time.perf_counter()
             (st.t_new, st.valid, st.packed, st.comp, st.dts, st.rds,
-             st.n_emit_new, counts) = _round_march_deep(
+             st.n_emit_new, st.shadow, counts) = _round_march_deep(
                 density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
-                st.n_emit, jnp.int32(st.rounds), st.seed_c, s,
+                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c, s,
                 n_alive_in=st.n_alive_dev)
             try:
                 counts.copy_to_host_async()
@@ -785,18 +808,19 @@ class _ShardedRounds:
         if key not in self._cache:
             s = self.s
 
-            def core(dg, o, d, fr, t, alive, ne, ri, sd, na):
-                return _round_march_deep(dg, o, d, fr, t, alive, ne, ri,
-                                         sd, s, n_alive_in=na[0])
+            def core(dg, o, d, fr, t, alive, ne, sh, ri, sd, na):
+                return _round_march_deep(dg, o, d, fr, t, alive, ne, sh,
+                                         ri, sd, s, n_alive_in=na[0])
 
             self._cache[key] = self._smap(
                 core,
                 (self._p0, self._pc, self._pc, self._pr, self._pr,
-                 self._pr, self._pr, self._p0, self._p0, self._pr),
+                 self._pr, self._pr, self._pr, self._p0, self._p0,
+                 self._pr),
                 # t_new, valid[P,m], packed[ns,8], comp[ns], dts, rds,
-                # n_emit, counts
+                # n_emit, shadow, counts
                 (self._pr, self._pc, self._pr, self._pr, self._pc,
-                 self._pc, self._pr, self._pr))
+                 self._pc, self._pr, self._pr, self._pr))
         return self._cache[key]
 
     def eval_bucket(self, size):
@@ -836,16 +860,16 @@ class _ShardedRounds:
     def compact(self, m_out_local):
         key = ("compact", m_out_local)
         if key not in self._cache:
-            def core(alive, t, o, d, fr, orig, ne):
-                return _compact_rays(alive, t, o, d, fr, orig, ne,
+            def core(alive, t, o, d, fr, orig, ne, sh):
+                return _compact_rays(alive, t, o, d, fr, orig, ne, sh,
                                      m_out_local)
 
             self._cache[key] = self._smap(
                 core,
                 (self._pr, self._pr, self._pc, self._pc, self._pr,
-                 self._pr, self._pr),
+                 self._pr, self._pr, self._pr),
                 (self._pr, self._pr, self._pc, self._pc, self._pr,
-                 self._pr, self._pr))
+                 self._pr, self._pr, self._pr))
         return self._cache[key]
 
     def liveness(self):
@@ -942,6 +966,7 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         orig = jax.device_put(
             _np.tile(_np.arange(n_local, dtype=_np.int32), d_cnt), sh_r)
         n_emit = jax.device_put(_np.zeros(chunk, _np.int32), sh_r)
+        shadow = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
         m = n_local
         # per-device alive counts (host copies)
         alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
@@ -959,12 +984,12 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                          default=m)
             if target < m:
                 (alive, t, o_cf, d_cf, frw, orig,
-                 n_emit) = rounds.compact(target)(
-                    alive, t, o_cf, d_cf, frw, orig, n_emit)
+                 n_emit, shadow) = rounds.compact(target)(
+                    alive, t, o_cf, d_cf, frw, orig, n_emit, shadow)
                 m = target
-            (t_new, valid, packed, comp, dts, rds, n_emit_new,
+            (t_new, valid, packed, comp, dts, rds, n_emit_new, shadow,
              counts) = rounds.march()(
-                density_grid, o_cf, d_cf, frw, t, alive, n_emit,
+                density_grid, o_cf, d_cf, frw, t, alive, n_emit, shadow,
                 jnp.int32(rounds_n), seed_c, n_alive_dev)
             counts_h = _np.asarray(counts).reshape(d_cnt, 2)  # ONE RTT
             k_max = int(counts_h[:, 0].max())
