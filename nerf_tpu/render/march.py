@@ -614,6 +614,14 @@ def _bucket_sizes(ns: int, allowed=()):
     return sizes
 
 
+@jax.jit
+def _concat_counts(parts):
+    """Stack per-chunk [2]-count arrays for the single wave readback.
+    Callers pad the tuple to a fixed length so one jit specialization
+    serves every wave."""
+    return jnp.concatenate(parts)
+
+
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          rays_d, nears, fars, settings: RenderSettings,
                          perturb_seed=None, stats=None) -> RenderResult:
@@ -690,21 +698,51 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         st.pending = None  # in-flight counts of the last issued march
         states.append(st)
 
-    from collections import deque
-
-    ring = deque(states)
-    max_rounds_seen = 0
+    # ---- lockstep waves -------------------------------------------------
+    # Per wave: every active chunk issues (compact?, march); then ONE
+    # batched host read returns ALL chunks' (n_valid, n_alive) pairs; then
+    # every chunk dispatches its eval+composite. Host reads through the
+    # relay cost ~26ms EACH regardless of payload and do not overlap —
+    # per-chunk-per-round reads measured 160 x 26ms = 4.2s on an 800x800
+    # frame (the whole frame time). One read per wave amortizes that
+    # across all chunks; device work still pipelines across chunks within
+    # the wave (dispatches are async).
     import time as _time
-    while ring:
-        st = ring.popleft()
-        done = False
-        if st.pending is not None:
-            t1 = _time.perf_counter()
-            counts_h = _np.asarray(st.pending)  # overlapped readback
-            st.pending = None
-            k = int(counts_h[0])
-            if int(counts_h[1]) >= 0:
-                st.n_alive_est = int(counts_h[1])
+
+    active = list(states)
+    max_rounds_seen = 0
+    wave = 0
+    counts_pad = jnp.zeros((2,), jnp.int32)
+    while active and wave < max_host_rounds:
+        t_wave = _time.perf_counter()
+        for st in active:
+            target = min((b for b in ladder if b >= st.n_alive_est),
+                         default=st.m)
+            if target < st.m:
+                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                 st.n_emit, st.shadow) = _compact_rays(
+                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                    st.n_emit, st.shadow, target)
+                st.m = target
+            (st.t_new, st.valid, st.packed, st.comp, st.dts, st.rds,
+             st.n_emit_new, st.shadow, st.pending) = _round_march_deep(
+                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
+                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c, s,
+                n_alive_in=st.n_alive_dev)
+
+        # the ONE host sync of the wave
+        allc = _concat_counts(
+            tuple(st.pending for st in active)
+            + (counts_pad,) * (len(states) - len(active)))
+        t_read = _time.perf_counter()
+        vals = _np.asarray(allc).reshape(-1, 2)[:len(active)]
+        t_done = _time.perf_counter()
+
+        still = []
+        for i, st in enumerate(active):
+            k = int(vals[i, 0])
+            if int(vals[i, 1]) >= 0:
+                st.n_alive_est = int(vals[i, 1])
             if k > 0:
                 sizes = _bucket_sizes(s.probes_per_round * st.m,
                                       s.bucket_set)
@@ -727,33 +765,17 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                 stats.setdefault("rounds", []).append(
                     dict(chunk=st.index, m=st.m, k=k,
                          n_alive_est=st.n_alive_est,
-                         march_s=t1 - st.t_issue,
-                         eval_comp_s=_time.perf_counter() - t1))
-            done = (st.n_alive_est <= 0 or st.rounds >= max_host_rounds)
-
-        if not done:
-            target = min((b for b in ladder if b >= st.n_alive_est),
-                         default=st.m)
-            if target < st.m:
-                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                 st.n_emit, st.shadow) = _compact_rays(
-                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                    st.n_emit, st.shadow, target)
-                st.m = target
-            st.t_issue = _time.perf_counter()
-            (st.t_new, st.valid, st.packed, st.comp, st.dts, st.rds,
-             st.n_emit_new, st.shadow, counts) = _round_march_deep(
-                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
-                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c, s,
-                n_alive_in=st.n_alive_dev)
-            try:
-                counts.copy_to_host_async()
-            except AttributeError:
-                pass
-            st.pending = counts
-            ring.append(st)
-        else:
-            max_rounds_seen = max(max_rounds_seen, st.rounds)
+                         march_s=t_read - t_wave,
+                         read_s=t_done - t_read,
+                         eval_comp_s=_time.perf_counter() - t_done))
+            if st.n_alive_est > 0:
+                still.append(st)
+            else:
+                max_rounds_seen = max(max_rounds_seen, st.rounds)
+        active = still
+        wave += 1
+    for st in active:
+        max_rounds_seen = max(max_rounds_seen, st.rounds)
 
     out_rgb, out_depth, out_wsum = [], [], []
     for st in states:
