@@ -158,28 +158,26 @@ def main():
     pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
                      [0, 0, 0, 1]], np.float32)
 
-    # smallest-first; attempts share the bounded specialization set so
-    # later ones reuse compiled programs. The TpuGrid flagship (one gather
-    # descriptor per sample-level) leads; the tcnn-layout HashGrid parity
-    # path is benched afterwards for the record.
+    # smallest-first. The TpuGrid flagship (one gather descriptor per
+    # sample-level) leads; the tcnn-layout HashGrid parity path is benched
+    # afterwards for the record. Chunk sizes follow the measured
+    # pipelining sweet spots (BASELINE.md): waves over more chunks hide
+    # per-round latency, too-small chunks lose device efficiency.
     attempts = [
-        ("tpugrid", TPU_NETWORK_CONFIG, 256),
-        ("tpugrid", TPU_NETWORK_CONFIG, 800),
-        ("hashgrid", DEFAULT_NETWORK_CONFIG, 800),
+        ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
+        ("tpugrid", TPU_NETWORK_CONFIG, 800, 32768),
+        ("hashgrid", DEFAULT_NETWORK_CONFIG, 800, 32768),
     ]
-    # s_round pinned at 8: the reference's num_step=N/num_alive clamp
-    # (nerf_render.cu:300) protects per-GPU sample-buffer memory we don't
-    # have to protect — s_round=1 measured 32 rounds where 4-5 do
-    # (march is the per-round cost, BASELINE.md phase split)
-    settings = RenderSettings(density_scale=25.0,
+
+    def make_settings(chunk):
+        return RenderSettings(density_scale=25.0,
                               probes_per_round=32,
-                              ray_chunk=65536,
-                              s_round_set=(8,),
-                              bucket_set=(16384, 65536, 262144),
+                              ray_chunk=chunk,
+                              bucket_set=(16384, 65536, 262144, 1048576),
                               host_loop=True)
 
     snaps, engines, fused_checked = {}, {}, set()
-    for name, config, w in attempts:
+    for name, config, w, chunk in attempts:
         if _STATE["best"] > 0 and _remaining() < 300:
             print(f"[bench] skipping {name}@{w}: {_remaining():.0f}s left",
                   file=sys.stderr, flush=True)
@@ -189,21 +187,23 @@ def main():
         if name not in snaps:
             snaps[name] = make_synthetic_snapshot(seed=3, grid_h=128,
                                                   network_config=config)
-        eng = engines.get(name)
+        ekey = (name, chunk)
+        eng = engines.get(ekey)
         if eng is None:
-            eng = NerfRender(settings=settings)
+            eng = NerfRender(settings=make_settings(chunk))
             eng.load_from_snapshot(snaps[name])
-            engines[name] = eng
+            engines[ekey] = eng
         eng.set_resolution((w, h))
         if name not in fused_checked:
             if not _verify_fused(eng):
                 # fused numerics broken on this backend: bench the oracle
                 print("[bench] falling back to oracle (use_fused=False)",
                       file=sys.stderr, flush=True)
-                eng = NerfRender(settings=settings, use_fused=False)
+                eng = NerfRender(settings=make_settings(chunk),
+                                 use_fused=False)
                 eng.load_from_snapshot(snaps[name])
                 eng.set_resolution((w, h))
-                engines[name] = eng
+                engines[ekey] = eng
             fused_checked.add(name)
         t0 = time.perf_counter()
         if not _validate(eng, cam, pose, w, h):

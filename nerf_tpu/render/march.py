@@ -414,8 +414,8 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
                       n_emit, shadow, round_idx, perturb_seed,
                       settings: RenderSettings, n_alive_in=None):
     """Deep march + sample compaction; probe-major counterpart of
-    _round_march. Returns (t_new, valid [P,m], packed [P*m, 8] sample
-    rows, comp [P*m] compaction indices, dts, rds, n_emit_new,
+    _round_march. Returns (t_new, valid [P,m], pos01 [3,P*m],
+    dir01 [3,P*m], comp [P*m] compaction indices, dts, rds, n_emit_new,
     shadow_new, counts[2])."""
     s = settings
     m = t.shape[0]
@@ -427,15 +427,14 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
         shadow, round_idx=round_idx, perturb_seed=perturb_seed)
 
-    # packed sample rows [ns, 8]: pos01 xyz | dir01 xyz | pad2. The eval
-    # gathers rows at comp[:bucket] — ONE 32-byte descriptor per VALID
-    # sample. (The previous design gathered pos/dir for ALL ns lanes:
-    # ~2M descriptors/round at m=65536, ~2x the march itself.)
-    pos01_r = (xs / (2.0 * bound) + 0.5).reshape(3, ns).T  # [ns, 3]
-    dir01_r = jnp.broadcast_to((rays_d_cf.T * 0.5 + 0.5)[None, :, :],
-                               (P, m, 3)).reshape(ns, 3)
-    packed = jnp.concatenate(
-        [pos01_r, dir01_r, jnp.zeros((ns, 2), jnp.float32)], axis=1)
+    # channel-first sample arrays [3, ns] — batch minor-most so HBM
+    # tiles perfectly. (A sample-major [ns, 8] row layout measured ~30ms
+    # per round: minor-dim-8 arrays pad to 128 lanes in HBM, a 16x write
+    # amplification. Keeping SoA costs a few extra gathers at eval time
+    # for SMALL buckets and none at all for large ones.)
+    pos01 = (xs / (2.0 * bound) + 0.5).reshape(3, ns)
+    dir01 = jnp.broadcast_to(rays_d_cf[:, None, :] * 0.5 + 0.5,
+                             (3, P, m)).reshape(3, ns)
 
     vflat = valid.reshape(ns)
     dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
@@ -448,8 +447,8 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
     if n_alive_in is None:
         n_alive_in = jnp.int32(-1)
     counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
-    return (t_new, valid, packed, comp, dts, rds, n_emit_new, shadow_new,
-            counts)
+    return (t_new, valid, pos01, dir01, comp, dts, rds, n_emit_new,
+            shadow_new, counts)
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
@@ -479,31 +478,39 @@ def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
     return w_sum, d, racc, term
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _round_composite_deep(out_rows, comp, valid, dts, rds, t, alive, orig,
-                          n_emit, w_sum_full, depth_full, rgb_full, fars,
-                          t_new, settings: RenderSettings):
-    """Probe-major compositing of bucketed eval results into full-chunk
+@functools.partial(jax.jit, static_argnames=("settings", "all_lanes"))
+def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
+                          orig, n_emit, w_sum_full, depth_full, rgb_full,
+                          fars, t_new, settings: RenderSettings,
+                          all_lanes: bool = False):
+    """Probe-major compositing of eval results into full-chunk
     accumulators.
 
-    out_rows [size, 4] = (r, g, b, raw-activated sigma) per valid sample;
-    comp [ns] maps compacted order back to flat (probe, lane) slots
-    (padding entries = ns, dropped by the row scatter — size descriptors
-    instead of the 2x ns-lane un-compaction gathers of the old design).
+    rgb_k [3, size] / sigma_k [size] are the eval outputs. With
+    all_lanes=True they are LANE-ordered [.., P*m] and map to slots
+    directly; otherwise they are COMPACTED-ordered and get scattered back
+    through comp[:size] channel-wise (padding entries = ns, mode=drop) —
+    size descriptors per channel, all arrays perfectly tiled. The flag is
+    explicit because a gather bucket can coincidentally equal P*m.
     """
     s = settings
     m = t.shape[0]
     P = dts.shape[0]
     ns = P * m
-    size = out_rows.shape[0]
+    size = sigma_k.shape[0]
 
     if s.density_scale != 1.0:
-        out_rows = out_rows * jnp.asarray(
-            [1.0, 1.0, 1.0, s.density_scale], jnp.float32)
-    scat = jnp.zeros((ns, 4), jnp.float32).at[comp[:size]].set(
-        out_rows, mode="drop")
-    sigma = scat[:, 3].reshape(P, m)
-    rgb_s = scat[:, :3].T.reshape(3, P, m)
+        sigma_k = sigma_k * jnp.float32(s.density_scale)
+    if all_lanes:
+        sigma = sigma_k.reshape(P, m)
+        rgb_s = rgb_k.reshape(3, P, m)
+    else:
+        c = comp[:size]
+        sigma = jnp.zeros((ns,), jnp.float32).at[c].set(
+            sigma_k, mode="drop").reshape(P, m)
+        rgb_s = jnp.stack([
+            jnp.zeros((ns,), jnp.float32).at[c].set(rgb_k[ch], mode="drop")
+            for ch in range(3)]).reshape(3, P, m)
 
     ws0 = w_sum_full[orig]
     w_new, d_delta, rgb_delta, term = _composite_round_masked(
@@ -532,22 +539,30 @@ def _round_composite_deep(out_rows, comp, valid, dts, rds, t, alive, orig,
 # round, negligible against a 10^4x binary-quality gap.
 # ---------------------------------------------------------------------------
 
-def _eval_rows_core(apply_fn: Callable, params, packed, comp, size: int):
-    """Gather `size` packed sample rows (comp[:size], 32B descriptors) and
-    run the network; returns result rows [size, 4] = rgb|sigma ready for
-    the composite's row-scatter."""
-    ns = packed.shape[0]
-    rows = packed[jnp.minimum(comp[:size], ns - 1)]  # [size, 8]
-    pos01_cf = rows[:, 0:3].T
-    dir01_cf = rows[:, 3:6].T
-    rgb, sigma = apply_fn(params, pos01_cf, dir01_cf)
-    return jnp.concatenate([rgb.T, sigma[:, None]], axis=1)
+def _eval_gather_core(apply_fn: Callable, params, pos01, dir01, comp,
+                      size: int):
+    """Small-bucket eval: per-channel gathers of the compacted sample
+    prefix (6 x size descriptors from perfectly-tiled [3, ns] arrays),
+    then the network. Returns (rgb [3, size], sigma [size])."""
+    ns = pos01.shape[1]
+    c = jnp.minimum(comp[:size], ns - 1)
+    pos_c = pos01[:, c]
+    dir_c = dir01[:, c]
+    return apply_fn(params, pos_c, dir_c)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "size"))
-def _eval_bucket_rows(apply_fn: Callable, params, packed, comp,
-                      size: int):
-    return _eval_rows_core(apply_fn, params, packed, comp, size)
+def _eval_bucket_gather(apply_fn: Callable, params, pos01, dir01, comp,
+                        size: int):
+    return _eval_gather_core(apply_fn, params, pos01, dir01, comp, size)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _eval_all_lanes(apply_fn: Callable, params, pos01, dir01):
+    """Large-bucket eval: when the valid count is a sizable fraction of
+    P*m, skipping compaction entirely is cheaper than gathering — the
+    network runs on every lane and the composite masks by validity."""
+    return apply_fn(params, pos01, dir01)
 
 
 @functools.partial(jax.jit, static_argnames=("m_out",))
@@ -724,8 +739,9 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                     st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
                     st.n_emit, st.shadow, target)
                 st.m = target
-            (st.t_new, st.valid, st.packed, st.comp, st.dts, st.rds,
-             st.n_emit_new, st.shadow, st.pending) = _round_march_deep(
+            (st.t_new, st.valid, st.pos01, st.dir01, st.comp, st.dts,
+             st.rds, st.n_emit_new, st.shadow,
+             st.pending) = _round_march_deep(
                 density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
                 st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c, s,
                 n_alive_in=st.n_alive_dev)
@@ -744,16 +760,25 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             if int(vals[i, 1]) >= 0:
                 st.n_alive_est = int(vals[i, 1])
             if k > 0:
-                sizes = _bucket_sizes(s.probes_per_round * st.m,
-                                      s.bucket_set)
-                size = next((sz for sz in sizes if sz >= k), sizes[-1])
-                out_rows = _eval_bucket_rows(apply_fn, params, st.packed,
-                                             st.comp, size)
+                ns = s.probes_per_round * st.m
+                all_lanes = k >= ns // 2
+                if all_lanes:
+                    # dense round: compaction would not pay for itself
+                    rgb_k, sigma_k = _eval_all_lanes(
+                        apply_fn, params, st.pos01, st.dir01)
+                else:
+                    sizes = _bucket_sizes(ns, s.bucket_set)
+                    size = next((sz for sz in sizes if sz >= k),
+                                sizes[-1])
+                    rgb_k, sigma_k = _eval_bucket_gather(
+                        apply_fn, params, st.pos01, st.dir01, st.comp,
+                        size)
                 (st.w_sum, st.depth, st.rgb, st.alive,
                  st.n_alive_dev) = _round_composite_deep(
-                    out_rows, st.comp, st.valid, st.dts, st.rds, st.t,
-                    st.alive, st.orig, st.n_emit_new, st.w_sum, st.depth,
-                    st.rgb, st.frw, st.t_new, s)
+                    rgb_k, sigma_k, st.comp, st.valid, st.dts, st.rds,
+                    st.t, st.alive, st.orig, st.n_emit_new, st.w_sum,
+                    st.depth, st.rgb, st.frw, st.t_new, s,
+                    all_lanes=all_lanes)
             else:
                 st.alive = (st.alive & (st.t_new < st.frw)
                             & (st.n_emit_new < s.max_infer_steps))
@@ -839,43 +864,50 @@ class _ShardedRounds:
                 (self._p0, self._pc, self._pc, self._pr, self._pr,
                  self._pr, self._pr, self._pr, self._p0, self._p0,
                  self._pr),
-                # t_new, valid[P,m], packed[ns,8], comp[ns], dts, rds,
-                # n_emit, shadow, counts
-                (self._pr, self._pc, self._pr, self._pr, self._pc,
-                 self._pc, self._pr, self._pr, self._pr))
+                # t_new, valid[P,m], pos01[3,ns], dir01[3,ns], comp[ns],
+                # dts, rds, n_emit, shadow, counts
+                (self._pr, self._pc, self._pc, self._pc, self._pr,
+                 self._pc, self._pc, self._pr, self._pr, self._pr))
         return self._cache[key]
 
     def eval_bucket(self, size):
+        """size is the per-shard bucket; size=None -> all-lanes eval."""
         key = ("eval", size)
         if key not in self._cache:
             apply_fn = self.apply_fn
 
-            def core(p, packed, comp):
-                return (_eval_rows_core(apply_fn, p, packed, comp, size),)
+            if size is None:
+                def core(p, pos01, dir01, comp):
+                    return apply_fn(p, pos01, dir01)
+            else:
+                def core(p, pos01, dir01, comp):
+                    return _eval_gather_core(apply_fn, p, pos01, dir01,
+                                             comp, size)
 
             self._cache[key] = self._smap(
-                core, (self._p0, self._pr, self._pr),
-                (self._pr,))
+                core, (self._p0, self._pc, self._pc, self._pr),
+                (self._pc, self._pr))
         return self._cache[key]
 
-    def composite(self):
-        key = "composite"
+    def composite(self, all_lanes=False):
+        key = ("composite", all_lanes)
         if key not in self._cache:
             s = self.s
 
-            def core(out_rows, comp, valid, dts, rds, t, alive, orig, ne,
-                     w, dep, rgb, fr, tn):
-                out = _round_composite_deep(out_rows, comp, valid, dts,
-                                            rds, t, alive, orig, ne, w,
-                                            dep, rgb, fr, tn, s)
+            def core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
+                     orig, ne, w, dep, rgb, fr, tn):
+                out = _round_composite_deep(rgb_k, sigma_k, comp, valid,
+                                            dts, rds, t, alive, orig, ne,
+                                            w, dep, rgb, fr, tn, s,
+                                            all_lanes=all_lanes)
                 w2, d2, r2, alive2, n_alive = out
                 return w2, d2, r2, alive2, n_alive[None]
 
             self._cache[key] = self._smap(
                 core,
-                (self._pr, self._pr, self._pc, self._pc, self._pc,
-                 self._pr, self._pr, self._pr, self._pr, self._pr,
-                 self._pr, self._pc, self._pr, self._pr),
+                (self._pc, self._pr, self._pr, self._pc, self._pc,
+                 self._pc, self._pr, self._pr, self._pr, self._pr,
+                 self._pr, self._pr, self._pc, self._pr, self._pr),
                 (self._pr, self._pr, self._pc, self._pr, self._pr))
         return self._cache[key]
 
@@ -1009,8 +1041,8 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                  n_emit, shadow) = rounds.compact(target)(
                     alive, t, o_cf, d_cf, frw, orig, n_emit, shadow)
                 m = target
-            (t_new, valid, packed, comp, dts, rds, n_emit_new, shadow,
-             counts) = rounds.march()(
+            (t_new, valid, pos01, dir01, comp, dts, rds, n_emit_new,
+             shadow, counts) = rounds.march()(
                 density_grid, o_cf, d_cf, frw, t, alive, n_emit, shadow,
                 jnp.int32(rounds_n), seed_c, n_alive_dev)
             counts_h = _np.asarray(counts).reshape(d_cnt, 2)  # ONE RTT
@@ -1019,12 +1051,19 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                 max_alive = int(counts_h[:, 1].max())
                 total_alive = int(counts_h[:, 1].sum())
             if k_max > 0:
-                sizes = _bucket_sizes(s.probes_per_round * m, s.bucket_set)
-                size = next((sz for sz in sizes if sz >= k_max), sizes[-1])
-                (out_rows,) = rounds.eval_bucket(size)(params, packed,
-                                                       comp)
-                w_sum, depth, rgb, alive, n_alive_dev = rounds.composite()(
-                    out_rows, comp, valid, dts, rds, t, alive, orig,
+                ns_local = s.probes_per_round * m
+                all_lanes = k_max >= ns_local // 2
+                if all_lanes:
+                    size = None
+                else:
+                    sizes = _bucket_sizes(ns_local, s.bucket_set)
+                    size = next((sz for sz in sizes if sz >= k_max),
+                                sizes[-1])
+                rgb_k, sigma_k = rounds.eval_bucket(size)(params, pos01,
+                                                          dir01, comp)
+                (w_sum, depth, rgb, alive,
+                 n_alive_dev) = rounds.composite(all_lanes)(
+                    rgb_k, sigma_k, comp, valid, dts, rds, t, alive, orig,
                     n_emit_new, w_sum, depth, rgb, frw, t_new)
             else:
                 alive, n_alive_dev = rounds.liveness()(alive, t_new, frw,
