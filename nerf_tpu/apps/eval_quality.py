@@ -67,6 +67,11 @@ def main(argv=None) -> None:
     p.add_argument("--grid-h", type=int, default=32)
     p.add_argument("--out-json", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--encoding", default="HashGrid",
+                   choices=["HashGrid", "TpuGrid"],
+                   help="student position encoding (TpuGrid = the "
+                        "TPU-native brick-neighborhood grid; same "
+                        "parameter budget)")
     args = p.parse_args(argv)
 
     import jax
@@ -95,7 +100,11 @@ def main(argv=None) -> None:
 
     # 2. train the student on the teacher's renders
     settings = RenderSettings(density_scale=1.0, grid_h=args.grid_h)
-    net = build_nerf_network(STUDENT_CFG, bound=1.0)
+    student_cfg = dict(STUDENT_CFG)
+    if args.encoding == "TpuGrid":
+        student_cfg["encoding"] = dict(STUDENT_CFG["encoding"],
+                                       otype="TpuGrid")
+    net = build_nerf_network(student_cfg, bound=1.0)
     key = jax.random.PRNGKey(args.seed)
     params = net.init_params(key)
     trainer = Trainer(net, settings, loss_config={"otype": "Huber"},
@@ -159,7 +168,8 @@ def main(argv=None) -> None:
                            np.clip(target, 0, 1)))
     result = {"psnr_mean": float(np.mean(scores)),
               "psnr_per_view": [float(s) for s in scores],
-              "steps": args.steps, "res": res}
+              "steps": args.steps, "res": res,
+              "encoding": args.encoding}
     nlog.info("held-out PSNR: %.2f dB", result["psnr_mean"])
     print(json.dumps(result))
     if args.out_json:

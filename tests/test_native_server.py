@@ -72,6 +72,10 @@ def test_native_server_roundtrip(tmp_path):
     port = 23817
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # this box's sitecustomize registers the TPU backend whenever this is
+    # set, and then JAX_PLATFORMS=cpu is ignored — scrub it so the worker
+    # really runs on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.Popen(
         [binary, str(port), "--max-connections", "1", "--",
          sys.executable, "-m", "nerf_tpu.apps.render_worker",
