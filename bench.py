@@ -76,18 +76,40 @@ def _remaining() -> float:
     return _BUDGET_S - (time.time() - _T0)
 
 
+_FUSED_CHECK_CFG = {
+    # same MLP topology as the flagship (the fused Pallas kernel under
+    # test) but a tiny grid: the check is encoding-agnostic, and the
+    # flagship's 16-level encode makes each checked program a ~33MB cache
+    # binary (~8 min to load through the relay)
+    "encoding": {"otype": "TpuGrid", "n_levels": 4,
+                 "n_features_per_level": 2, "log2_rows": 8,
+                 "base_resolution": 16},
+    "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                "output_activation": "None", "n_neurons": 64,
+                "n_hidden_layers": 1},
+    "dir_encoding": {"otype": "SphericalHarmonics", "degree": 4},
+    "rgb_network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+}
+
+
 def _verify_fused(eng) -> bool:
     """Element-wise fused-vs-oracle check in COMPILED mode (VERDICT r1 #6).
 
     A Mosaic lowering bug must not ship a timing: compare the fused Pallas
-    head against the fp32 oracle on the loaded params before measuring.
+    head against the fp32 oracle (same MLP topology as the engine's
+    network, small encode) before measuring.
     """
     import jax
     import jax.numpy as jnp
 
-    net, params = eng.network, eng.params
-    if not net.fused_supported:
+    from nerf_tpu.models.nerf import build_nerf_network
+
+    if not eng.network.fused_supported:
         return True
+    net = build_nerf_network(_FUSED_CHECK_CFG, bound=1.0)
+    params = net.init_params()
     key = jax.random.PRNGKey(7)
     k1, k2 = jax.random.split(key)
     pos = jax.random.uniform(k1, (3, 4096), jnp.float32)
@@ -163,9 +185,12 @@ def main():
     # afterwards for the record. Chunk sizes follow the measured
     # pipelining sweet spots (BASELINE.md): waves over more chunks hide
     # per-round latency, too-small chunks lose device efficiency.
+    # flagship-first: even cache HITS cost ~1min/program to load through
+    # the relay, so the attempt whose number matters most runs first and
+    # the SIGTERM emitter covers the rest
     attempts = [
-        ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
         ("tpugrid", TPU_NETWORK_CONFIG, 800, 32768),
+        ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
         ("hashgrid", DEFAULT_NETWORK_CONFIG, 800, 32768),
     ]
 
