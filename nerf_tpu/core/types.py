@@ -79,11 +79,12 @@ class RenderSettings:
     # allowed ray working-set sizes for cross-round ray compaction
     # (empty = powers-of-8 ladder down from ray_chunk, floor 4096)
     ray_bucket_set: Tuple[int, ...] = ()
-    # drive the round loop from the host (one small jitted program per
-    # round + per-round liveness readback, like nerf_render.cu:269-338)
-    # instead of one whole-frame device program. See BASELINE.md for why
-    # this environment prefers it.
-    host_loop: bool = False
+    # drive the round loop from the host (wave-scheduled round programs
+    # with sample/ray compaction, like nerf_render.cu:269-338) instead of
+    # one whole-frame device program. The host loop is the measured fast
+    # path (BASELINE.md) and the default; the on-device while_loop path
+    # remains for fully-jitted use cases (and as the equality oracle).
+    host_loop: bool = True
     aabb: Tuple[float, float, float, float, float, float] = (
         -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
     )
