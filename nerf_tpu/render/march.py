@@ -8,34 +8,38 @@ Reference parity: the per-frame render loop of
 TPU redesign (replaces the CUDA dynamic-compaction loop):
   The reference compacts alive rays each iteration via atomicAdd
   (render_utils.h:394-415) and round-trips the alive counter to the host
-  (nerf_render.cu:288-292). Neither survives XLA's static-shape model, and
-  the host sync would serialize the device. Instead:
-    - rays are processed in fixed-size CHUNKS via `lax.map` (memory is
-      bounded by one chunk regardless of frame size — the analog of the
-      reference's per-GPU buffer sizing, nerf_render.cu:186-236)
-    - one `lax.while_loop` over march ROUNDS per chunk, all rays resident,
-      liveness as a mask; exits when no ray is alive (on-device reduction)
-    - per round each alive ray emits up to `samples_per_round` samples
-      using at most `probes_per_round` occupancy probes (VPU-vectorized);
-      the reference's data-dependent voxel-skip do-while
-      (render_utils.h:648-651) becomes a bounded masked inner loop
-    - the sample batch feeds ONE network evaluation per round (MXU matmul
-      chain), like the reference's concat -> inference -> decompose
-      (nerf_render.cu:315-329)
-    - compositing is a fixed-length scan over the sample slots with the
-      reference's alpha/T/early-termination math (render_utils.h:698-743)
+  (nerf_render.cu:288-292). Neither survives XLA's static-shape model.
+  Two drivers, bit-identical outputs (tested against each other and
+  against the step-exact NumPy port in tests/reference_sim.py):
+
+  1. THE HOST-LOOP PATH (default; the measured fast path, BASELINE.md):
+     frames render in fixed ray chunks, round-robined as lockstep WAVES.
+     Per chunk-round, one jitted program (_round_march_deep) runs a
+     VECTORIZED march: the reference's t-sequence is the occupancy-
+     independent recurrence t += clamp(t*dt_gamma), so the whole
+     trajectory is closed-form — an unrolled P-step trajectory, ONE
+     batched [P*m] occupancy gather, and an unrolled emission pass that
+     reproduces the voxel-skip do-while's no-emission windows exactly
+     (skip "shadows", carried across rounds). Emitted samples compact via
+     a cumsum permutation; the network evaluates either ALL lanes (dense
+     rounds) or a bucket-size per-channel gather, and compositing
+     scatter-adds per-round deltas into full-chunk accumulators. Rays
+     compact across rounds through a bucket ladder. The host reads ONE
+     concatenated count array per wave (~26ms relay RTT, non-overlapping)
+     and makes the static-shape decisions: bucket sizes, compaction,
+     termination. A shard_mapped variant (_ShardedRounds) runs the same
+     loop over a ray mesh with per-device local compaction.
+
+  2. THE DEVICE PATH (render_rays): one `lax.while_loop` over march
+     rounds per chunk via `lax.map`, all rays resident, liveness as a
+     mask, zero host syncs — fully jittable, used as the equality oracle
+     and wherever a single XLA program is required.
 
   Layout: every hot array is CHANNEL-FIRST with the ray/sample batch axis
-  minor-most ([3, S, N], [S, N], [N]) so fp32 (8,128) tiles never pad —
-  the TPU analog of tcnn's SoA matrices (matrix_layout.h:37-47). A
-  channels-last [N, S, 16] layout measured 8x tile-padding blowup (61 GB
-  for an 800x800 frame) before this design.
-
-  Semantics deltas (documented, all result-preserving — verified against
-  the step-exact NumPy port of the CUDA kernels in tests/reference_sim.py):
-    - rays that exhaust their probe budget mid-round continue next round;
-    - voxel skips after a round's last emission are retained (the
-      reference re-marches them next round — pure wasted work).
+  minor-most ([3, P, N], [P, N], [N]) so fp32 (8,128) tiles never pad —
+  the TPU analog of tcnn's SoA matrices (matrix_layout.h:37-47).
+  Sample-major rows measured a 16x HBM write amplification (minor dims
+  <128 pad to 128 lanes); channels-last [N, S, 16] measured 8x.
 """
 from __future__ import annotations
 
