@@ -966,8 +966,10 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     """Multi-chip host-looped render (see render_rays_hostloop).
 
     rays are globally [N]; each device owns N/D contiguous rays. Bucket /
-    s_round / compaction decisions use the MAX per-device counts so every
-    shard runs the same static shapes (SPMD).
+    compaction decisions use the MAX per-device counts so every shard
+    runs the same static shapes (SPMD). Chunks run as lockstep WAVES with
+    ONE concatenated [(chunks)*2*D] count readback per wave — the same
+    RTT batching as the single-device loop.
     """
     import numpy as _np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -987,13 +989,17 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     ladder = _ray_buckets(n_local, s.ray_bucket_set)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
+    max_host_rounds = 8 + 2 * (s.max_infer_steps
+                               // max(1, s.probes_per_round))
 
     params = jax.device_put(params, sh_0)
     density_grid = jax.device_put(density_grid, sh_0)
 
-    out_rgb, out_depth, out_wsum = [], [], []
-    max_rounds_seen = 0
-    for start in range(0, n_total, chunk):
+    class _Chunk:
+        pass
+
+    states = []
+    for ci, start in enumerate(range(0, n_total, chunk)):
         end = min(start + chunk, n_total)
         n = end - start
         pad = chunk - n
@@ -1008,54 +1014,68 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                             constant_values=float(_FLT_MAX))
             fr_np = _np.pad(fr_np, (0, pad),
                             constant_values=float(_FLT_MAX))
-        o_cf = jax.device_put(o_np, sh_c)
-        d_cf = jax.device_put(d_np, sh_c)
-        nr = jax.device_put(nr_np, sh_r)
-        fr_full = jax.device_put(fr_np, sh_r)
-        frw = fr_full  # working-set copy (shrinks with ray compaction)
-
-        w_sum = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        depth = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        rgb = jax.device_put(_np.zeros((3, chunk), _np.float32), sh_c)
-        t = nr
-        alive = jax.device_put(nr_np < fr_np, sh_r)
+        st = _Chunk()
+        st.index, st.n = ci, n
+        st.o_cf = jax.device_put(o_np, sh_c)
+        st.d_cf = jax.device_put(d_np, sh_c)
+        st.nr = jax.device_put(nr_np, sh_r)
+        st.fr_full = jax.device_put(fr_np, sh_r)
+        st.frw = st.fr_full  # shrinks with ray compaction
+        st.w_sum = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
+        st.depth = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
+        st.rgb = jax.device_put(_np.zeros((3, chunk), _np.float32), sh_c)
+        st.t = st.nr
+        st.alive = jax.device_put(nr_np < fr_np, sh_r)
         # LOCAL slot index per shard (composite scatters into the local
         # accumulator block)
-        orig = jax.device_put(
+        st.orig = jax.device_put(
             _np.tile(_np.arange(n_local, dtype=_np.int32), d_cnt), sh_r)
-        n_emit = jax.device_put(_np.zeros(chunk, _np.int32), sh_r)
-        shadow = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        m = n_local
-        # per-device alive counts (host copies)
+        st.n_emit = jax.device_put(_np.zeros(chunk, _np.int32), sh_r)
+        st.shadow = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
+        st.m = n_local
         alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
-        n_alive_dev = jax.device_put(
-            alive_d.astype(_np.int32), sh_r)  # [D] device copy
-        max_alive = int(alive_d.max())
-        total_alive = int(alive_d.sum())
-        seed_c = seed0 + jnp.int32(((start // chunk) * 1315423911)
-                                   & 0x7FFFFFFF)
-        rounds_n = 0
-        max_host_rounds = 8 + 2 * (s.max_infer_steps
-                                   // max(1, s.probes_per_round))
-        while rounds_n < max_host_rounds and total_alive > 0:
-            target = min((b for b in ladder if b >= max_alive),
-                         default=m)
-            if target < m:
-                (alive, t, o_cf, d_cf, frw, orig,
-                 n_emit, shadow) = rounds.compact(target)(
-                    alive, t, o_cf, d_cf, frw, orig, n_emit, shadow)
-                m = target
-            (t_new, valid, pos01, dir01, comp, dts, rds, n_emit_new,
-             shadow, counts) = rounds.march()(
-                density_grid, o_cf, d_cf, frw, t, alive, n_emit, shadow,
-                jnp.int32(rounds_n), seed_c, n_alive_dev)
-            counts_h = _np.asarray(counts).reshape(d_cnt, 2)  # ONE RTT
-            k_max = int(counts_h[:, 0].max())
-            if counts_h[0, 1] >= 0:
-                max_alive = int(counts_h[:, 1].max())
-                total_alive = int(counts_h[:, 1].sum())
+        st.n_alive_dev = jax.device_put(alive_d.astype(_np.int32), sh_r)
+        st.max_alive = int(alive_d.max())
+        st.total_alive = int(alive_d.sum())
+        st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
+        st.rounds = 0
+        states.append(st)
+
+    active = list(states)
+    max_rounds_seen = 0
+    wave = 0
+    counts_pad = jnp.zeros((2 * d_cnt,), jnp.int32)
+    while active and wave < max_host_rounds:
+        for st in active:
+            target = min((b for b in ladder if b >= st.max_alive),
+                         default=st.m)
+            if target < st.m:
+                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                 st.n_emit, st.shadow) = rounds.compact(target)(
+                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                    st.n_emit, st.shadow)
+                st.m = target
+            (st.t_new, st.valid, st.pos01, st.dir01, st.comp, st.dts,
+             st.rds, st.n_emit_new, st.shadow,
+             st.pending) = rounds.march()(
+                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
+                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c,
+                st.n_alive_dev)
+
+        allc = _concat_counts(
+            tuple(st.pending for st in active)
+            + (counts_pad,) * (len(states) - len(active)))
+        vals = _np.asarray(allc)[:2 * d_cnt * len(active)].reshape(
+            len(active), d_cnt, 2)  # the ONE host sync of the wave
+
+        still = []
+        for i, st in enumerate(active):
+            k_max = int(vals[i, :, 0].max())
+            if int(vals[i, 0, 1]) >= 0:
+                st.max_alive = int(vals[i, :, 1].max())
+                st.total_alive = int(vals[i, :, 1].sum())
             if k_max > 0:
-                ns_local = s.probes_per_round * m
+                ns_local = s.probes_per_round * st.m
                 all_lanes = k_max >= ns_local // 2
                 if all_lanes:
                     size = None
@@ -1063,35 +1083,46 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                     sizes = _bucket_sizes(ns_local, s.bucket_set)
                     size = next((sz for sz in sizes if sz >= k_max),
                                 sizes[-1])
-                rgb_k, sigma_k = rounds.eval_bucket(size)(params, pos01,
-                                                          dir01, comp)
-                (w_sum, depth, rgb, alive,
-                 n_alive_dev) = rounds.composite(all_lanes)(
-                    rgb_k, sigma_k, comp, valid, dts, rds, t, alive, orig,
-                    n_emit_new, w_sum, depth, rgb, frw, t_new)
+                rgb_k, sigma_k = rounds.eval_bucket(size)(
+                    params, st.pos01, st.dir01, st.comp)
+                (st.w_sum, st.depth, st.rgb, st.alive,
+                 st.n_alive_dev) = rounds.composite(all_lanes)(
+                    rgb_k, sigma_k, st.comp, st.valid, st.dts, st.rds,
+                    st.t, st.alive, st.orig, st.n_emit_new, st.w_sum,
+                    st.depth, st.rgb, st.frw, st.t_new)
             else:
-                alive, n_alive_dev = rounds.liveness()(alive, t_new, frw,
-                                                       n_emit_new)
+                st.alive, st.n_alive_dev = rounds.liveness()(
+                    st.alive, st.t_new, st.frw, st.n_emit_new)
+            st.t = st.t_new
+            st.n_emit = st.n_emit_new
+            st.rounds += 1
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(m=m, k=k_max,
-                         max_alive=max_alive, total_alive=total_alive))
-            t = t_new
-            n_emit = n_emit_new
-            rounds_n += 1
-        max_rounds_seen = max(max_rounds_seen, rounds_n)
+                    dict(chunk=st.index, m=st.m, k=k_max,
+                         max_alive=st.max_alive,
+                         total_alive=st.total_alive))
+            if st.total_alive > 0:
+                still.append(st)
+            else:
+                max_rounds_seen = max(max_rounds_seen, st.rounds)
+        active = still
+        wave += 1
+    for st in active:
+        max_rounds_seen = max(max_rounds_seen, st.rounds)
 
-        rgb_bias, dd = rounds.finalize()(w_sum, depth, nr, fr_full)
-        out_rgb.append(_np.asarray(rgb + rgb_bias[None, :])[:, :n])
-        out_depth.append(_np.asarray(dd)[:n])
-        out_wsum.append(_np.asarray(w_sum)[:n])
+    out_rgb, out_depth, out_wsum = [], [], []
+    for st in states:
+        rgb_bias, dd = rounds.finalize()(st.w_sum, st.depth, st.nr,
+                                         st.fr_full)
+        out_rgb.append(_np.asarray(st.rgb + rgb_bias[None, :])[:, :st.n])
+        out_depth.append(_np.asarray(dd)[:st.n])
+        out_wsum.append(_np.asarray(st.w_sum)[:st.n])
 
     rgb = _np.concatenate(out_rgb, axis=1)
     return RenderResult(rgb=jnp.asarray(rgb.T),
                         depth=jnp.asarray(_np.concatenate(out_depth)),
                         weight_sum=jnp.asarray(_np.concatenate(out_wsum)),
                         n_rounds=jnp.int32(max_rounds_seen))
-
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
 def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
