@@ -47,12 +47,21 @@ def _emit():
         return
     _STATE["emitted"] = True
     best = _STATE["best"]
-    print(json.dumps({
+    line = json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "rays/s",
         "vs_baseline": round(best / 25e6, 4),
-    }), flush=True)
+    })
+    try:
+        print(line, flush=True)
+    except BrokenPipeError:
+        # stdout's consumer died (e.g. a torn-down shell pipeline);
+        # fall back to stderr so the record still lands somewhere
+        try:
+            print(line, file=sys.stderr, flush=True)
+        except OSError:
+            pass
 
 
 def _on_signal(signum, frame):
