@@ -189,25 +189,26 @@ def main():
     pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
                      [0, 0, 0, 1]], np.float32)
 
-    # smallest-first. The TpuGrid flagship (one gather descriptor per
-    # sample-level) leads; the tcnn-layout HashGrid parity path is benched
-    # afterwards for the record. Chunk sizes follow the measured
-    # pipelining sweet spots (BASELINE.md): waves over more chunks hide
-    # per-round latency, too-small chunks lose device efficiency.
-    # flagship-first: even cache HITS cost ~1min/program to load through
-    # the relay, so the attempt whose number matters most runs first and
-    # the SIGTERM emitter covers the rest
+    # Round-3 configuration: ONE merged jit per chunk-round
+    # (march+eval+composite, render/march.py:_round_merged) + skip-field
+    # empty-space extension. The program count is deliberately small —
+    # single ray working-set (no compaction ladder: the skip field
+    # collapses the late sparse rounds the ladder existed for) and two
+    # eval buckets — because each program costs minutes of remote compile
+    # and ~1min of relay load even on a cache hit. Flagship attempt
+    # first; the SIGTERM emitter covers the rest.
     attempts = [
-        ("tpugrid", TPU_NETWORK_CONFIG, 800, 32768),
-        ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
-        ("hashgrid", DEFAULT_NETWORK_CONFIG, 800, 32768),
+        ("tpugrid", TPU_NETWORK_CONFIG, 800, 65536),
+        ("tpugrid", TPU_NETWORK_CONFIG, 256, 65536),
+        ("hashgrid", DEFAULT_NETWORK_CONFIG, 800, 65536),
     ]
 
     def make_settings(chunk):
         return RenderSettings(density_scale=25.0,
                               probes_per_round=32,
                               ray_chunk=chunk,
-                              bucket_set=(16384, 65536, 262144, 1048576),
+                              bucket_set=(16384, 131072),
+                              ray_bucket_set=(chunk,),
                               host_loop=True)
 
     snaps, engines, fused_checked = {}, {}, set()
@@ -250,10 +251,13 @@ def main():
               file=sys.stderr, flush=True)
         st = (eng.last_stats or {}).get("rounds")
         if st:
-            march = sum(r.get("march_s", 0.0) for r in st)
-            evalc = sum(r.get("eval_comp_s", 0.0) for r in st)
+            merged = sum(r.get("merged_s", 0.0) for r in st)
+            read = sum(r.get("read_s", 0.0) for r in st)
+            replay = sum(r.get("replay_s", 0.0) for r in st)
+            n_ovf = sum(r.get("overflow", 0) for r in st)
             print(f"[bench]   phase split (last frame): {len(st)} rounds, "
-                  f"march {march:.3f}s, eval+composite {evalc:.3f}s, "
+                  f"merged-dispatch {merged:.3f}s, reads {read:.3f}s, "
+                  f"replay {replay:.3f}s ({n_ovf} overflows), "
                   f"samples {sum(r['k'] for r in st)}",
                   file=sys.stderr, flush=True)
         _STATE["best"] = max(_STATE["best"], rays_per_sec)

@@ -21,6 +21,23 @@ from nerf_tpu.render.engine import NerfRender
 POSE_BYTES = 64
 
 
+def _claim_wire_fd():
+    """Isolate the binary frame channel from Python-level stdout.
+
+    The wire protocol shares fd 1 with anything that prints (JAX/absl
+    warnings, stray library prints) — one interleaved line desyncs the
+    native server's read_exact framing. dup() the real stdout fd for
+    frame writes and rebind sys.stdout to stderr so later prints are
+    harmless (ADVICE r2)."""
+    import os
+
+    wire = os.fdopen(os.dup(sys.stdout.fileno()), "wb", buffering=0)
+    sys.stdout.flush()
+    os.dup2(sys.stderr.fileno(), sys.stdout.fileno())
+    sys.stdout = sys.stderr
+    return wire
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--snapshot", required=True)
@@ -35,6 +52,7 @@ def main(argv=None) -> None:
     p.add_argument("--host-loop", action="store_true")
     args = p.parse_args(argv)
 
+    wire = _claim_wire_fd()
     mesh = None
     if args.n_shards:
         from nerf_tpu.parallel.mesh import make_mesh
@@ -47,9 +65,7 @@ def main(argv=None) -> None:
     engine.set_resolution((args.width, args.height))
     cam = Camera(fl_x=args.fl_x, fl_y=args.fl_y, cx=args.cx, cy=args.cy)
 
-    out = sys.stdout.buffer
-    out.write(f"READY {args.width} {args.height}\n".encode())
-    out.flush()
+    wire.write(f"READY {args.width} {args.height}\n".encode())
     stdin = sys.stdin.buffer
     while True:
         data = stdin.read(POSE_BYTES)
@@ -57,8 +73,7 @@ def main(argv=None) -> None:
             break
         pose = np.frombuffer(data, "<f4").reshape(4, 4)
         img = engine.render_frame(cam, pose)
-        out.write(img.rgb.tobytes())
-        out.flush()
+        wire.write(img.rgb.tobytes())
 
 
 if __name__ == "__main__":

@@ -85,13 +85,36 @@ class RenderSettings:
     # path (BASELINE.md) and the default; the on-device while_loop path
     # remains for fully-jitted use cases (and as the equality oracle).
     host_loop: bool = True
+    # host-loop march: derive a chebyshev distance-to-occupied field from
+    # the density grid (render/density_grid.py:build_skip_field) enabling
+    # long-range empty-space jumps (the TPU answer to the reference's
+    # bitfield march, render_utils.h:417-522; see march.py). skip_cap
+    # bounds the stored distance (jump <= skip_cap-1 cells per round).
+    use_skip_field: bool = True
+    skip_cap: int = 32
+    # gather-free trajectory extension steps per round (lattice-exact
+    # empty-space skipping, see march.py pass 4); 0 disables
+    extend_steps: int = 32
     aabb: Tuple[float, float, float, float, float, float] = (
         -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
     )
 
     @property
     def max_rounds(self) -> int:
-        return -(-self.max_infer_steps // self.samples_per_round)
+        """Device-path round cap. Each round a live ray either consumes
+        >= samples_per_round of its max_infer_steps emission budget or
+        >= probes_per_round trajectory steps (every probe advances t by
+        >= MIN_STEPSIZE, render_utils.h:579), and the trajectory is at
+        most the aabb diagonal long — so the sum of the two bounds is a
+        true worst case (ADVICE r2: the old emission-only cap silently
+        truncated rays in bound>2 scenes with long empty stretches)."""
+        import math
+
+        emit_rounds = -(-self.max_infer_steps // self.samples_per_round)
+        span = math.dist(self.aabb[:3], self.aabb[3:])
+        probe_rounds = int(math.ceil(
+            span / MIN_STEPSIZE / max(1, self.probes_per_round)))
+        return emit_rounds + probe_rounds
 
 
 # Constants mirroring render_utils.h:178-190.

@@ -45,6 +45,17 @@ class Encoding:
     def init_params(self, key=None):
         return jnp.zeros((0,), jnp.float32)
 
+    def prepare_params(self, params):
+        """Precompute the inference-time parameter form.
+
+        Grid encodings override this to build their packed gather tables
+        ONCE per parameter update instead of inside every traced encode
+        (the round programs would otherwise re-pack tens of MB of HBM per
+        dispatch — ADVICE r2). apply/apply_cf accept either the raw flat
+        vector or the prepared form. Default: identity.
+        """
+        return params
+
     # -- subclass API -----------------------------------------------------
     def encode(self, params, x):
         """Return the unpadded [..., n_output_dims] encoding."""

@@ -1,0 +1,188 @@
+"""tcnn hash-table -> TpuGrid brick-row conversion.
+
+Closes the round-2 T1 gap (VERDICT r2 item 5): the reference's core use
+case is loading a foreign instant-ngp snapshot and rendering it FAST
+(src/nerf_render.cu:431-473 -> :238-367). The tcnn-exact GridEncoding
+renders such snapshots correctly but needs 8 corner gathers per
+(sample, level) (tcnn grid.h:139-311); TpuGrid needs ONE row gather but
+is brick-parameterized. This module resamples a trained tcnn table into
+TpuGrid rows so foreign snapshots get the fast path.
+
+Exactness: a TpuGrid row for brick b stores the 3x3x3 cell neighborhood
+2b+{0,1,2}; both encodings quantize positions identically
+(pos = x*scale + 0.5, cell = floor — grid.h pos_fract), so filling
+row[b][c] with the tcnn value of absolute cell 2b+c reproduces tcnn's
+trilerp EXACTLY for every sample in brick b. Two approximations remain:
+  1. TpuGrid brick-hash collisions (fine levels): colliding bricks'
+     neighborhoods are AVERAGED; the returned stats quantify how many
+     occupied bricks shared a row.
+  2. Only bricks intersecting the snapshot's occupancy grid are
+     converted for hashed levels (the march never evaluates samples in
+     unoccupied cells, so unconverted rows are never read in practice);
+     dense levels convert every brick.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nerf_tpu.encodings.hashgrid import GridEncoding, _PRIMES
+from nerf_tpu.encodings.tpugrid import TpuGridEncoding, _N_NEIGHBORHOOD
+
+
+def _tcnn_rows_for_cells(enc: GridEncoding, lvl: int,
+                         cells: np.ndarray) -> np.ndarray:
+    """tcnn table row for absolute cell coords [N, 3] at one level —
+    the NumPy mirror of GridEncoding._corner_rows_cf's per-level math."""
+    res = int(enc._resolutions[lvl])
+    size = int(enc._level_sizes[lvl])
+    c = cells.astype(np.uint64)
+    if enc._use_hash[lvl]:
+        idx = np.zeros(len(cells), np.uint32)
+        for d in range(3):
+            idx ^= (c[:, d].astype(np.uint32)
+                    * np.uint32(_PRIMES[d]))
+    else:
+        idx = np.zeros(len(cells), np.uint32)
+        stride = 1
+        for d in range(3):
+            if enc._include_dim[lvl, d]:
+                idx = idx + c[:, d].astype(np.uint32) * np.uint32(stride)
+            stride *= res
+    mask = np.uint32(enc._and_mask[lvl])
+    idx = idx & mask
+    if enc._needs_sub[lvl]:
+        sub = np.uint32(enc._sub_mask[lvl])
+        idx = np.where(idx >= sub, idx - sub, idx)
+    elif (size & (size - 1)) != 0 and not enc._use_hash[lvl]:
+        idx = idx % np.uint32(size)
+    return idx.astype(np.int64) + int(enc._offsets[lvl])
+
+
+def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
+                     density_thresh: float, bound: float,
+                     scale: float, nb: int) -> np.ndarray:
+    """Brick coords [K, 3] (int) of one TpuGrid level whose cells can be
+    touched by samples inside occupied occupancy-grid cells.
+
+    Marched sample positions live in occupied cells of some mip
+    (render_utils.h:606-619); pos01 = x/(2*bound)+0.5 maps each occupancy
+    cell to a pos01 box, which maps to a level-cell range via
+    pos = pos01*scale + 0.5 (+1 for the trilerp upper corner)."""
+    h = grid_h
+    out = []
+    for cas in range(cascade):
+        occ = density_grid[cas * h ** 3:(cas + 1) * h ** 3] > density_thresh
+        idx = np.nonzero(occ)[0]
+        if idx.size == 0:
+            continue
+        cx = idx // (h * h)
+        cy = (idx // h) % h
+        cz = idx % h
+        cells = np.stack([cx, cy, cz], axis=1).astype(np.float64)
+        mip_bound = min(float(1 << cas), bound)
+        # occupancy cell k spans x in [k, k+1)/h * 2*mip_bound - mip_bound
+        lo01 = (cells / h * 2.0 * mip_bound - mip_bound) \
+            / (2.0 * bound) + 0.5
+        hi01 = ((cells + 1.0) / h * 2.0 * mip_bound - mip_bound) \
+            / (2.0 * bound) + 0.5
+        cell_lo = np.floor(lo01 * scale + 0.5).astype(np.int64)
+        cell_hi = np.floor(hi01 * scale + 0.5).astype(np.int64) + 1
+        brick_lo = np.maximum(cell_lo >> 1, 0)
+        brick_hi = np.minimum(cell_hi >> 1, nb - 1)
+        span = int((brick_hi - brick_lo).max()) + 1
+        offs = np.arange(span)
+        # K x span^3 candidate bricks, clamped per-cell to its own range
+        bx = np.minimum(brick_lo[:, 0:1] + offs[None, :], brick_hi[:, 0:1])
+        by = np.minimum(brick_lo[:, 1:2] + offs[None, :], brick_hi[:, 1:2])
+        bz = np.minimum(brick_lo[:, 2:3] + offs[None, :], brick_hi[:, 2:3])
+        grid = (bx[:, :, None, None] * (nb * nb)
+                + by[:, None, :, None] * nb
+                + bz[:, None, None, :]).reshape(-1)
+        out.append(grid)
+    if not out:
+        return np.zeros((0, 3), np.int64)
+    keys = np.unique(np.concatenate(out))
+    return np.stack([keys // (nb * nb), (keys // nb) % nb, keys % nb],
+                    axis=1)
+
+
+def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
+                    tpu_enc: TpuGridEncoding,
+                    density_grid: Optional[np.ndarray] = None,
+                    grid_h: int = 128, cascade: int = 1,
+                    bound: float = 1.0,
+                    density_thresh: float = 0.01
+                    ) -> Tuple[np.ndarray, Dict]:
+    """Resample tcnn-layout grid params into TpuGrid rows.
+
+    Returns (tpu_params flat f32 [tpu_enc.n_params], stats) where stats
+    records per-level brick counts and collision rates. The level
+    schedules (base_resolution, per_level_scale, n_levels, F) must match.
+    """
+    if (tcnn_enc.n_levels != tpu_enc.n_levels
+            or tcnn_enc.n_features_per_level != tpu_enc.n_features_per_level
+            or tcnn_enc.base_resolution != tpu_enc.base_resolution
+            or abs(tcnn_enc.per_level_scale - tpu_enc.per_level_scale)
+            > 1e-6):
+        raise ValueError("level schedules differ; conversion requires "
+                         "matching (n_levels, F, base_resolution, "
+                         "per_level_scale)")
+    F = tpu_enc.n_features_per_level
+    table = np.asarray(tcnn_params, np.float32).reshape(
+        tcnn_enc.total_entries, F)
+    acc = np.zeros((tpu_enc.total_rows, _N_NEIGHBORHOOD, F), np.float64)
+    cnt = np.zeros((tpu_enc.total_rows,), np.int64)
+    stats = {"levels": []}
+
+    nbh = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
+                               indexing="ij"), axis=-1).reshape(27, 3)
+
+    for lvl in range(tpu_enc.n_levels):
+        nb = int(tpu_enc._nbricks[lvl])
+        dense = bool(tpu_enc._dense[lvl])
+        rows_lvl = int(tpu_enc._rows[lvl])
+        off_lvl = int(tpu_enc._offsets[lvl])
+        if dense:
+            b = np.arange(nb ** 3, dtype=np.int64)
+            bricks = np.stack([b // (nb * nb), (b // nb) % nb, b % nb],
+                              axis=1)
+        else:
+            if density_grid is None:
+                raise ValueError(
+                    "hashed TpuGrid levels need density_grid to bound "
+                    "the converted brick set")
+            bricks = _occupied_bricks(
+                np.asarray(density_grid), grid_h, cascade, density_thresh,
+                bound, float(tpu_enc._scales[lvl]), nb)
+        if len(bricks) == 0:
+            stats["levels"].append(dict(level=lvl, bricks=0, rows=rows_lvl,
+                                        collided_rows=0))
+            continue
+        # target rows
+        if dense:
+            rloc = (bricks[:, 0] * nb + bricks[:, 1]) * nb + bricks[:, 2]
+        else:
+            rloc = ((bricks[:, 0].astype(np.uint32) * np.uint32(_PRIMES[0]))
+                    ^ (bricks[:, 1].astype(np.uint32)
+                       * np.uint32(_PRIMES[1]))
+                    ^ (bricks[:, 2].astype(np.uint32)
+                       * np.uint32(_PRIMES[2]))) & np.uint32(rows_lvl - 1)
+            rloc = rloc.astype(np.int64)
+        rows = rloc + off_lvl
+        # neighborhood cell coords [K, 27, 3] -> tcnn values
+        cells = (bricks[:, None, :] * 2 + nbh[None, :, :]).reshape(-1, 3)
+        tr = _tcnn_rows_for_cells(tcnn_enc, lvl, cells)
+        vals = table[tr].reshape(len(bricks), _N_NEIGHBORHOOD, F)
+        np.add.at(acc, rows, vals)
+        np.add.at(cnt, rows, 1)
+        row_cnt = cnt[off_lvl:off_lvl + rows_lvl]
+        stats["levels"].append(dict(
+            level=lvl, bricks=int(len(bricks)), rows=rows_lvl,
+            collided_rows=int(np.sum(row_cnt > 1)),
+            max_bricks_per_row=int(row_cnt.max() if rows_lvl else 0)))
+
+    out = np.where(cnt[:, None, None] > 0,
+                   acc / np.maximum(cnt[:, None, None], 1), 0.0)
+    return out.reshape(-1).astype(np.float32), stats

@@ -161,6 +161,22 @@ class GridEncoding(Encoding):
         return jax.random.uniform(key, (self._n_params,), jnp.float32,
                                   -1e-4, 1e-4)
 
+    def prepare_params(self, params):
+        """Precompute the packed uint32 table once per parameter update
+        (ADVICE r2: the in-trace rebuild cost HBM writes every dispatch).
+        Returns {"ptable": [total_entries] uint32} in packed mode."""
+        if self.packed_gather and self.n_features_per_level == 2:
+            return {"ptable": self._pack_table(params)}
+        return params
+
+    def _pack_table(self, params):
+        table = params.reshape(self.total_entries, 2)
+        b0 = jax.lax.bitcast_convert_type(
+            table[:, 0].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        b1 = jax.lax.bitcast_convert_type(
+            table[:, 1].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        return b0 | (b1 << jnp.uint32(16))
+
     # ------------------------------------------------------------------
     def _corner_rows_cf(self, cell: jnp.ndarray,
                         corner_bits: int) -> jnp.ndarray:
@@ -205,7 +221,9 @@ class GridEncoding(Encoding):
         [L, B] or [D, L, B] — batch minor-most, zero tile padding.
         """
         F = self.n_features_per_level
-        table = params.reshape(self.total_entries, F)
+        prepared = isinstance(params, dict)
+        if not prepared:
+            table = params.reshape(self.total_entries, F)
         xf = x_cf.astype(jnp.float32)
 
         scales = jnp.asarray(self._scales)  # [L]
@@ -214,16 +232,11 @@ class GridEncoding(Encoding):
         frac = pos - cell_f
         cell = cell_f.astype(jnp.uint32)
 
-        packed = self.packed_gather and F == 2
+        packed = prepared or (self.packed_gather and F == 2)
         if packed:
-            # pack (bf16(f0), bf16(f1)) into one uint32 per table entry
-            b0 = jax.lax.bitcast_convert_type(
-                table[:, 0].astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            b1 = jax.lax.bitcast_convert_type(
-                table[:, 1].astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            ptable = b0 | (b1 << jnp.uint32(16))
+            # (bf16(f0), bf16(f1)) packed in one uint32 per table entry
+            ptable = (params["ptable"] if prepared
+                      else self._pack_table(params))
 
             def gather(rows):
                 v = ptable[rows]
@@ -265,7 +278,8 @@ class GridEncoding(Encoding):
         # level-major SoA order out[l*F + f] (grid.h:252-256):
         # stack features -> [L, F, B] -> reshape [L*F, B].
         out = jnp.stack(acc, axis=1)
-        return out.reshape(self.n_output_dims, -1).astype(params.dtype)
+        out = out.reshape(self.n_output_dims, -1)
+        return out.astype(jnp.float32 if prepared else params.dtype)
 
     def encode(self, params, x):
         """x: [..., D] in [0, 1] -> [..., L*F] (channels-last wrapper)."""

@@ -25,10 +25,13 @@ total: ~8x fewer. Corner extraction from the fetched row is 38 VPU selects
 
 Trade-off vs tcnn: boundary cells are not shared between adjacent bricks
 (each row owns its neighborhood), so the parameterization is brick-local —
-like block-sparse feature grids; trained end-to-end it matches hash-grid
-capacity at equal parameter count. Coarse levels use exact dense brick
-indexing (no collisions); fine levels hash the brick coordinate with the
-tcnn primes (grid.h:90).
+like block-sparse feature grids. At the default budget (log2_rows =
+log2_T - 5, i.e. ~84% of tcnn's parameter count: rows*27*F vs 2^T*F) a
+trained-from-scratch student measured ~1.7 dB behind the exact hash grid
+at 1000 steps (quality_tpugrid_1k.json vs quality_hashgrid_1k.json); the
+brick-face consistency regularizer in train/loss.py narrows that gap.
+Coarse levels use exact dense brick indexing (no collisions); fine levels
+hash the brick coordinate with the tcnn primes (grid.h:90).
 
 Row storage: packed mode puts the bf16 feature pair of each cell in one
 uint32 (27 used + pad), padded to a slice width chosen from the measured
@@ -79,6 +82,13 @@ class TpuGridEncoding(Encoding):
             self.log2_rows = max(4, log2_t - 5)
         # packed bf16-pair gathers (inference); f32 rows when False (training)
         self.packed_gather = bool(config.get("packed_gather", True))
+        # inference row storage: "bf16" (F in {2,4}; 27F/2 u32, padded to
+        # 64) or "int8" (F==2 only; 54 int8 + one bf16 per-row scale in 16
+        # u32 — the w=16 gather runs 142M rows/s vs w=64's 88M and moves
+        # 4x fewer bytes, bench_gather.py)
+        self.row_quant = str(config.get("row_quant", "bf16")).lower()
+        if self.row_quant not in ("bf16", "int8"):
+            raise ValueError(f"row_quant must be bf16|int8: {self.row_quant}")
 
         self.n_output_dims = self.n_levels * self.n_features_per_level
         self.alignment = max(1, int(alignment))
@@ -126,6 +136,65 @@ class TpuGridEncoding(Encoding):
         return jax.random.uniform(key, (self._n_params,), jnp.float32,
                                   -1e-4, 1e-4)
 
+    def prepare_params(self, params):
+        """Build the packed/padded uint32 gather table once (see
+        _pack_table / _pack_table_int8). Returns {"ptable": ...} or
+        {"qtable": ...} in packed modes, the raw params otherwise."""
+        F = self.n_features_per_level
+        if self.packed_gather and self.row_quant == "int8" and F == 2:
+            return {"qtable": self._pack_table_int8(params)}
+        if self.packed_gather and F in (2, 4):
+            return {"ptable": self._pack_table(params)}
+        return params
+
+    def _bf16_pair(self, a, b):
+        lo = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        return lo | (hi << jnp.uint32(16))
+
+    def _pack_table(self, params):
+        """f32 flat params -> [R, _FAST_ROW_U32] uint32 rows: bf16 feature
+        pairs, one u32 per pair (F=2: 27 u32/row; F=4: 54 u32/row —
+        cell-major, features interleaved), padded to 64 u32 (slice widths
+        17..63 hit a v5e gather cliff at 16-32M rows/s while 64 runs
+        88M rows/s — bench_gather.py / BASELINE.md)."""
+        F = self.n_features_per_level
+        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
+        if F == 2:
+            ptable = self._bf16_pair(table[..., 0], table[..., 1])
+        else:  # F == 4: u32[2i] = (f0,f1), u32[2i+1] = (f2,f3)
+            even = self._bf16_pair(table[..., 0], table[..., 1])
+            odd = self._bf16_pair(table[..., 2], table[..., 3])
+            ptable = jnp.stack([even, odd], axis=-1).reshape(
+                self.total_rows, 2 * _N_NEIGHBORHOOD)
+        pad = _FAST_ROW_U32 - ptable.shape[1]
+        return jnp.pad(ptable, ((0, 0), (0, pad)))
+
+    _INT8_ROW_U32 = 16
+
+    def _pack_table_int8(self, params):
+        """f32 flat params -> [R, 16] uint32 rows: 54 int8 quantized cell
+        features (cell-major, q[2i+f]) in u32 0..13 (little-endian bytes,
+        2 pad bytes), the per-row bf16 dequant scale in u32 14, pad in 15.
+        Quantization uses the bf16-rounded scale so dequant is exact."""
+        F = self.n_features_per_level
+        v = params.reshape(self.total_rows, _N_NEIGHBORHOOD * F)
+        amax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+        scale_b = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.bfloat16)
+        scale = scale_b.astype(jnp.float32)
+        q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int32)
+        qb = (q & 0xFF).astype(jnp.uint32)              # [R, 54] bytes
+        qb = jnp.pad(qb, ((0, 0), (0, 56 - _N_NEIGHBORHOOD * F)))
+        qb = qb.reshape(self.total_rows, 14, 4)
+        words = (qb[..., 0] | (qb[..., 1] << 8) | (qb[..., 2] << 16)
+                 | (qb[..., 3] << 24))                  # [R, 14]
+        s_u32 = jax.lax.bitcast_convert_type(
+            scale_b[:, 0], jnp.uint16).astype(jnp.uint32)[:, None]
+        zero = jnp.zeros_like(s_u32)
+        return jnp.concatenate([words, s_u32, zero], axis=1)  # [R, 16]
+
     # ------------------------------------------------------------------
     def _rows_for_level(self, x_cf, lvl: int):
         """Brick row + within-brick offsets + fracs for one level.
@@ -170,20 +239,15 @@ class TpuGridEncoding(Encoding):
         gathered [B, 27] layout: no per-column lane extraction, which
         measured 4.5x slower (bench_gather.py / BASELINE.md)."""
         F = self.n_features_per_level
-        packed = self.packed_gather and F == 2
-        if packed:
-            table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
-            b0 = jax.lax.bitcast_convert_type(
-                table[..., 0].astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            b1 = jax.lax.bitcast_convert_type(
-                table[..., 1].astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            ptable = b0 | (b1 << jnp.uint32(16))  # [R, 27]
-            # pad the row to the measured fast slice width (slice widths
-            # 17..63 except 64 hit a v5e gather cliff — bench_gather.py)
-            pad = _FAST_ROW_U32 - _N_NEIGHBORHOOD
-            ptable = jnp.pad(ptable, ((0, 0), (0, pad)))
+        prepared = isinstance(params, dict)
+        int8_mode = prepared and "qtable" in params
+        packed = prepared or (self.packed_gather and F in (2, 4))
+        if int8_mode:
+            qtable = params["qtable"]
+        elif prepared:
+            ptable = params["ptable"]
+        elif packed:
+            ptable = self._pack_table(params)
         else:
             ftable = params.reshape(self.total_rows,
                                     _N_NEIGHBORHOOD * F)
@@ -196,14 +260,40 @@ class TpuGridEncoding(Encoding):
             wz = self._axis_weights(off[2], frac[2])
             w27 = (wx[:, :, None, None] * wy[:, None, :, None]
                    * wz[:, None, None, :]).reshape(-1, _N_NEIGHBORHOOD)
-            if packed:
-                g = ptable[row][:, :_N_NEIGHBORHOOD]  # ONE descriptor/sample
-                f0 = jax.lax.bitcast_convert_type(
-                    g << jnp.uint32(16), jnp.float32)
-                f1 = jax.lax.bitcast_convert_type(
-                    g & jnp.uint32(0xFFFF0000), jnp.float32)
-                outs.append(jnp.sum(w27 * f0, axis=1))
-                outs.append(jnp.sum(w27 * f1, axis=1))
+
+            def _lo(u):
+                return jax.lax.bitcast_convert_type(u << jnp.uint32(16),
+                                                    jnp.float32)
+
+            def _hi(u):
+                return jax.lax.bitcast_convert_type(
+                    u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+            if int8_mode:
+                g = qtable[row]                       # [B, 16] u32
+                u = g[:, :14]
+                qb = jnp.stack([(u >> jnp.uint32(sh)) & jnp.uint32(0xFF)
+                                for sh in (0, 8, 16, 24)], axis=-1)
+                qb = qb.reshape(-1, 56)[:, :_N_NEIGHBORHOOD * 2]
+                qi = qb.astype(jnp.int32)
+                qi = qi - ((qi >> 7) << 8)            # sign-extend int8
+                scale = jax.lax.bitcast_convert_type(
+                    (g[:, 14] & jnp.uint32(0xFFFF)) << jnp.uint32(16),
+                    jnp.float32)
+                for f in range(2):
+                    plane = qi[:, f::2].astype(jnp.float32)
+                    outs.append(jnp.sum(w27 * plane, axis=1) * scale)
+            elif packed:
+                g = ptable[row]                       # ONE descriptor/sample
+                if F == 2:
+                    planes = [_lo(g[:, :_N_NEIGHBORHOOD]),
+                              _hi(g[:, :_N_NEIGHBORHOOD])]
+                else:  # F == 4
+                    even = g[:, 0:2 * _N_NEIGHBORHOOD:2]
+                    odd = g[:, 1:2 * _N_NEIGHBORHOOD:2]
+                    planes = [_lo(even), _hi(even), _lo(odd), _hi(odd)]
+                for plane in planes:
+                    outs.append(jnp.sum(w27 * plane, axis=1))
             else:
                 g = ftable[row].reshape(-1, _N_NEIGHBORHOOD, F)
                 r = jnp.sum(w27[:, :, None] * g.astype(jnp.float32), axis=1)
@@ -211,9 +301,67 @@ class TpuGridEncoding(Encoding):
                     outs.append(r[:, f])
 
         out = jnp.stack(outs, axis=0)  # [L*F, B] level-major
-        return out.astype(params.dtype)
+        return out.astype(jnp.float32 if prepared else params.dtype)
 
     def encode(self, params, x):
         lead = x.shape[:-1]
         out = self._encode_cf(params, x.reshape(-1, 3).T)
         return out.T.reshape(lead + (self.n_output_dims,))
+
+    # ------------------------------------------------------------------
+    def brick_consistency_loss(self, params, key, n_bricks: int = 1024):
+        """Mean squared mismatch between shared-boundary cells of
+        adjacent bricks (training regularizer).
+
+        The brick-local parameterization stores each brick's 3x3x3
+        neighborhood independently, so the SAME absolute cell (e.g.
+        2b+2 along x — brick b's face plane and brick b+1's entry plane)
+        has two independent copies that can drift apart during training;
+        the measured cost was ~1.7 dB vs the exact hash grid at 1000
+        steps (quality records, VERDICT r2 item 6). Sampling n_bricks
+        random (brick, +axis-neighbor) pairs per level and penalizing
+        face-plane disagreement restores the shared-cell constraint
+        stochastically. f32 (training) params only.
+        """
+        F = self.n_features_per_level
+        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
+        # neighborhood index (cx*3+cy)*3+cz; face planes per axis:
+        planes = []
+        idx3 = np.arange(27).reshape(3, 3, 3)
+        for ax in range(3):
+            hi = np.take(idx3, 2, axis=ax).reshape(-1)  # this brick's face
+            lo = np.take(idx3, 0, axis=ax).reshape(-1)  # neighbor's entry
+            planes.append((jnp.asarray(hi), jnp.asarray(lo)))
+
+        total = jnp.float32(0.0)
+        n_terms = 0
+        for lvl in range(self.n_levels):
+            nb = int(self._nbricks[lvl])
+            if nb < 2:
+                continue
+            k = jax.random.fold_in(key, lvl)
+            bricks = jax.random.randint(k, (n_bricks, 3), 0, nb - 1,
+                                        dtype=jnp.int32).astype(jnp.uint32)
+            for ax in range(3):
+                nbr = bricks.at[:, ax].add(jnp.uint32(1))
+                rows_a = self._brick_rows(bricks, lvl)
+                rows_b = self._brick_rows(nbr, lvl)
+                hi, lo = planes[ax]
+                a = table[rows_a][:, hi, :]
+                b = table[rows_b][:, lo, :]
+                total = total + jnp.mean((a - b) ** 2)
+                n_terms += 1
+        return total / max(n_terms, 1)
+
+    def _brick_rows(self, bricks, lvl: int):
+        """Global row index for brick coords [K, 3] uint32 at a level
+        (the same dense/hash mapping as _rows_for_level)."""
+        if self._dense[lvl]:
+            nb = jnp.uint32(self._nbricks[lvl])
+            row = (bricks[:, 0] * nb + bricks[:, 1]) * nb + bricks[:, 2]
+        else:
+            row = (bricks[:, 0] * jnp.uint32(_PRIMES[0])
+                   ^ bricks[:, 1] * jnp.uint32(_PRIMES[1])
+                   ^ bricks[:, 2] * jnp.uint32(_PRIMES[2]))
+            row = row & jnp.uint32(self._rows[lvl] - 1)
+        return row + jnp.uint32(self._offsets[lvl])

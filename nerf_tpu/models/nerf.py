@@ -150,6 +150,17 @@ class NerfNetwork:
             "dir_encoding": self.dir_encoding.init_params(k4),
         }
 
+    def prepare_params(self, params: Dict) -> Dict:
+        """Inference-time parameter form: grid encodings pre-pack their
+        gather tables ONCE so round programs don't rebuild them per
+        dispatch (ADVICE r2). apply*/density* accept either form."""
+        out = dict(params)
+        out["pos_encoding"] = self.pos_encoding.prepare_params(
+            params["pos_encoding"])
+        out["dir_encoding"] = self.dir_encoding.prepare_params(
+            params["dir_encoding"])
+        return out
+
     # -- forward ---------------------------------------------------------
     def density_raw(self, params: Dict, pos01):
         """Density-net output [..., padded_density_width]; row 0 is the raw

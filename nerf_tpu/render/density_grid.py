@@ -79,6 +79,46 @@ def generate_density_grid(net, params, density_grid, settings: RenderSettings,
     return jnp.concatenate(sections)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_h", "cascade", "cap"))
+def build_skip_field(density_grid, density_thresh, grid_h: int,
+                     cascade: int = 1, cap: int = 32) -> jnp.ndarray:
+    """Chebyshev distance-to-occupied field for long-range empty-space
+    skipping (the TPU answer to the reference's bitfield march variant,
+    render_utils.h:417-522 — see march.py for why a bitfield itself buys
+    nothing under XLA's descriptor-bound gathers).
+
+    Returns int32 [cascade * H^3], same x-major cell order as the density
+    grid: 0 = occupied (density > density_thresh, the marcher's test at
+    render_utils.h:619); k >= 1 = every cell within chebyshev radius k-1
+    of this cell is empty, capped at `cap`. A ray anywhere inside a cell
+    with value v can therefore advance (v-1) * cell_size along ANY
+    direction without entering an occupied cell.
+
+    Built by cap-1 iterations of d = min(d, minpool_3x3x3(d) + 1) with
+    the pool separable into three 3-tap axis mins; cells outside the grid
+    are treated as empty (pad = cap), matching the marcher's far-clipping.
+    One-time per density-grid update (~100 cheap elementwise passes).
+    """
+    h = grid_h
+    occ = (density_grid > density_thresh).reshape(cascade, h, h, h)
+    d = jnp.where(occ, 0, cap).astype(jnp.int32)
+
+    def axis_min3(a, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (1, 1)
+        p = jnp.pad(a, pad, constant_values=cap)
+        lo = jax.lax.slice_in_dim(p, 0, h, axis=axis)
+        hi = jax.lax.slice_in_dim(p, 2, h + 2, axis=axis)
+        return jnp.minimum(a, jnp.minimum(lo, hi))
+
+    for _ in range(cap - 1):
+        m = d
+        for ax in (1, 2, 3):
+            m = axis_min3(m, ax)
+        d = jnp.minimum(d, m + 1)
+    return d.reshape(-1)
+
+
 def mean_density(density_grid: jnp.ndarray) -> jnp.ndarray:
     """Mean over non-negative cells (snapshot `mean_density` analog)."""
     valid = density_grid >= 0

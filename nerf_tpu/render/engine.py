@@ -50,14 +50,58 @@ class NerfRender:
         # default follows the fused resolution
         self.packed_grid = packed_grid
         self.network: Optional[NerfNetwork] = None
-        self.params: Optional[Dict] = None
-        self.density_grid = None
+        self._params: Optional[Dict] = None
+        # inference form of params (packed gather tables precomputed once;
+        # ADVICE r2) — rebuilt lazily whenever params change
+        self._params_infer: Optional[Dict] = None
+        self._density_grid = None
+        self._skip_field = None
         self.resolution = None
         self._render_fn = None
         # host-loop diagnostics: when True, per-round stats of the most
         # recent frame land in last_stats (host-loop paths only)
         self.collect_stats = False
         self.last_stats: Optional[Dict] = None
+
+    @property
+    def params(self) -> Optional[Dict]:
+        return self._params
+
+    @params.setter
+    def params(self, value: Optional[Dict]) -> None:
+        self._params = value
+        self._params_infer = None
+
+    @property
+    def density_grid(self):
+        return self._density_grid
+
+    @density_grid.setter
+    def density_grid(self, value) -> None:
+        self._density_grid = value
+        self._skip_field = None  # derived empty-space field (march.py)
+
+    def _get_skip_field(self):
+        """Chebyshev distance-to-occupied field for the host-loop march's
+        long-range empty-space jumps (render/density_grid.py:
+        build_skip_field); derived once per density-grid update."""
+        if not self.settings.use_skip_field or self.density_grid is None:
+            return None
+        if self._skip_field is None:
+            from nerf_tpu.core.types import DENSITY_THRESH
+            from nerf_tpu.render.density_grid import build_skip_field
+
+            thresh = min(DENSITY_THRESH, self.settings.mean_density)
+            sf = build_skip_field(self.density_grid,
+                                  jnp.float32(thresh),
+                                  self.settings.grid_h,
+                                  self.settings.cascade,
+                                  self.settings.skip_cap)
+            if self.mesh is not None:
+                from nerf_tpu.parallel.mesh import replicate
+                sf = replicate(sf, self.mesh)
+            self._skip_field = sf
+        return self._skip_field
 
     # -- loading (nerf_render.cu:93-184,431-473) --------------------------
     def reload_network_from_file(self, path: str) -> None:
@@ -89,9 +133,57 @@ class NerfRender:
 
     def reset_network(self, network_config: Dict) -> None:
         """Construct the NerfNetwork from config (nerf_render.cu:111-184)."""
+        self.network_config = network_config
         self.network = build_nerf_network(network_config,
                                           bound=self.settings.bound,
                                           compute_dtype=self.compute_dtype)
+
+    def convert_to_tpugrid(self, log2_rows: Optional[int] = None) -> Dict:
+        """Re-encode a loaded tcnn-HashGrid snapshot onto the TpuGrid
+        fast path (one row gather per sample-level instead of 8 corner
+        gathers) by resampling the hash table into brick rows
+        (encodings/convert.py). The MLP/dir-encoding weights carry over
+        unchanged (the level schedules and padded widths match). Returns
+        the conversion stats (per-level brick/collision counts).
+
+        This is the fast path for the reference's core use case —
+        rendering a foreign instant-ngp snapshot (nerf_render.cu:431-473).
+        log2_rows overrides the TpuGrid row budget (more rows = fewer
+        brick collisions = closer to the exact tcnn render; speed is
+        unchanged either way — gathers are descriptor-bound).
+        """
+        import copy
+
+        from nerf_tpu.core.types import DENSITY_THRESH
+        from nerf_tpu.encodings.convert import tcnn_to_tpugrid
+        from nerf_tpu.encodings.hashgrid import GridEncoding
+
+        enc = self.network.pos_encoding
+        if not isinstance(enc, GridEncoding):
+            raise ValueError("loaded network does not use a tcnn-layout "
+                             "grid encoding")
+        old_params = self.params
+        cfg = copy.deepcopy(self.network_config)
+        cfg["encoding"] = dict(cfg["encoding"], otype="TpuGrid")
+        if log2_rows is not None:
+            cfg["encoding"]["log2_rows"] = int(log2_rows)
+        self.reset_network(cfg)
+        new_grid, stats = tcnn_to_tpugrid(
+            enc, np.asarray(old_params["pos_encoding"]),
+            self.network.pos_encoding,
+            density_grid=np.asarray(self.density_grid),
+            grid_h=self.settings.grid_h, cascade=self.settings.cascade,
+            bound=self.settings.bound,
+            density_thresh=min(DENSITY_THRESH,
+                               self.settings.mean_density))
+        params = dict(old_params)
+        params["pos_encoding"] = jnp.asarray(new_grid)
+        if self.mesh is not None:
+            from nerf_tpu.parallel.mesh import replicate
+            params = replicate(params, self.mesh)
+        self.params = params
+        self._render_fn = None
+        return stats
 
     def set_resolution(self, res) -> None:
         self.resolution = (int(res[0]), int(res[1]))
@@ -149,16 +241,17 @@ class NerfRender:
                 rays_o, rays_d, nears, fars = gen(cam_params, rotation,
                                                   origin)
                 stats = {} if self.collect_stats else None
+                skip_field = self._get_skip_field()
                 if rounds is not None:
                     res = render_rays_hostloop_sharded(
                         rounds, params, density_grid, rays_o, rays_d,
                         nears, fars, perturb_seed=perturb_seed,
-                        stats=stats)
+                        stats=stats, skip_field=skip_field)
                 else:
                     res = render_rays_hostloop(
                         apply_fn, params, density_grid, rays_o, rays_d,
                         nears, fars, settings, perturb_seed=perturb_seed,
-                        stats=stats)
+                        stats=stats, skip_field=skip_field)
                 self.last_stats = stats
                 return res.rgb, res.depth, res.weight_sum
 
@@ -193,10 +286,16 @@ class NerfRender:
             raise RuntimeError("no snapshot loaded")
         if self._render_fn is None:
             self._render_fn = self._build_render_fn()
+            # packed_gather is resolved inside _build_render_fn, so the
+            # prepared form must be (re)built after it
+            self._params_infer = None
+        if self._params_infer is None:
+            self._params_infer = self.network.prepare_params(self.params)
         new_pose = nerf_matrix_to_ngp(pose, self.settings.scale)
         cam_params = jnp.asarray([cam.fl_x, cam.fl_y, cam.cx, cam.cy],
                                  jnp.float32)
-        return self._render_fn(self.params, self.density_grid, cam_params,
+        return self._render_fn(self._params_infer, self.density_grid,
+                               cam_params,
                                jnp.asarray(new_pose[:3, :3]),
                                jnp.asarray(new_pose[:3, 3]),
                                jnp.int32(perturb_seed))

@@ -63,6 +63,19 @@ class RenderResult(NamedTuple):
     n_rounds: jnp.ndarray    # [] march rounds executed (max over chunks)
 
 
+def _max_host_rounds(s: RenderSettings) -> int:
+    """Wave cap for the host-loop drivers, derived from worst-case
+    trajectory length: the deep march advances every live ray by exactly
+    probes_per_round steps of >= MIN_STEPSIZE per round, and a trajectory
+    is at most the aabb diagonal long (ADVICE r2: the old emission-budget
+    cap could finalize frames with rays still alive for bound>2 scenes)."""
+    import math
+
+    span = math.dist(s.aabb[:3], s.aabb[3:])
+    return int(math.ceil(
+        span / MIN_STEPSIZE / max(1, s.probes_per_round))) + 8
+
+
 def _skip_trip_bound(s: RenderSettings) -> int:
     """Exact trip bound for the voxel-skip do-while: each step is
     >= MIN_STEPSIZE and the remaining distance to the voxel exit is at
@@ -198,34 +211,56 @@ def _march_round(t, alive, rays_o, rays_d, far, density_grid,
     return t, sx, sdt, srd, emit
 
 
-def _composite_round(smp_rgb, smp_sigma, smp_dt, smp_rd, emit, t_round_start,
-                     weight_sum, depth, rgb_acc):
-    """kernel_composite_rays (render_utils.h:658-751) as a scan over slots.
+def _composite_parallel(smp_rgb, smp_sigma, smp_dt, smp_rd, m,
+                        t_round_start, weight_sum, depth, rgb_acc):
+    """kernel_composite_rays (render_utils.h:658-751), log-depth form.
 
-    smp_rgb [3, S, N], smp_sigma/dt/rd [S, N]. Returns updated
-    (weight_sum [N], depth [N], rgb_acc [3, N], terminated [N]).
+    The reference loop is sequential only through the transmittance
+    product T_k = T_in * prod_{j<k}(1 - alpha_j) and the early-exit at
+    T < 1e-4 (:712-727). Both are closed-form: a masked exclusive cumprod
+    gives every slot's incoming T at once, and because T is monotone
+    non-increasing along valid slots the termination point is simply the
+    first valid slot whose incoming T is < 1e-4 (pre-termination values
+    of the unterminated cumprod agree exactly with the sequential loop,
+    so the cut index matches). Replaces a 32-iteration lax.scan whose
+    per-slot steps measured ~0.1ms each (ROUND2_NOTES: composite was
+    ~0.5s of a 4.8s frame); cumprod/cumsum over the small slot axis fuse
+    into a handful of elementwise passes.
+
+    m [S, N] bool: slot validity. Returns (weight_sum [N], depth [N],
+    rgb_acc [3, N], terminated [N]).
     """
     n = smp_dt.shape[1]
-
-    def body(carry, slot):
-        w_sum, d, racc, t_c, term = carry
-        valid = (slot < emit) & ~term          # delta==0 break (:701)
-        alpha = 1.0 - jnp.exp(-smp_sigma[slot] * smp_dt[slot])  # :703
-        big_t = 1.0 - w_sum                                     # :712
-        w = alpha * big_t                                       # :713
-        wv = jnp.where(valid, w, 0.0)
-        t_c = t_c + jnp.where(valid, smp_rd[slot], 0.0)         # :716
-        d = d + wv * t_c                                        # :717
-        racc = racc + wv[None, :] * smp_rgb[:, slot, :]         # :718-720
-        w_sum = w_sum + wv
-        term = term | (valid & (big_t < 1e-4))                  # :727
-        return (w_sum, d, racc, t_c, term), None
-
-    init = (weight_sum, depth, rgb_acc, t_round_start,
-            jnp.zeros((n,), bool))
-    (w_sum, d, racc, _, term), _ = jax.lax.scan(
-        body, init, jnp.arange(smp_dt.shape[0], dtype=jnp.int32))
+    alpha = 1.0 - jnp.exp(-smp_sigma * smp_dt)                  # :703
+    am = jnp.where(m, alpha, 0.0)
+    cum = jnp.cumprod(1.0 - am, axis=0)
+    cum_excl = jnp.concatenate(
+        [jnp.ones((1, n), jnp.float32), cum[:-1]], axis=0)
+    big_t = (1.0 - weight_sum)[None, :] * cum_excl              # :712
+    q = m & (big_t < 1e-4)                                      # :727
+    fired = jnp.cumsum(q.astype(jnp.int32), axis=0) > 0
+    term_before = jnp.concatenate(
+        [jnp.zeros((1, n), bool), fired[:-1]], axis=0)
+    keep = m & ~term_before
+    w = jnp.where(keep, alpha * big_t, 0.0)                     # :713
+    t_c = t_round_start[None, :] + jnp.cumsum(
+        jnp.where(keep, smp_rd, 0.0), axis=0)                   # :716
+    d = depth + jnp.sum(w * t_c, axis=0)                        # :717
+    racc = rgb_acc + jnp.sum(w[None, :, :] * smp_rgb, axis=1)   # :718-720
+    w_sum = weight_sum + jnp.sum(w, axis=0)
+    term = jnp.any(q, axis=0)
     return w_sum, d, racc, term
+
+
+def _composite_round(smp_rgb, smp_sigma, smp_dt, smp_rd, emit, t_round_start,
+                     weight_sum, depth, rgb_acc):
+    """Slot-count masked composite: slot k of a ray is valid iff k < emit
+    (the reference's `step` budget per march call). smp_rgb [3, S, N],
+    smp_sigma/dt/rd [S, N]."""
+    slots = jnp.arange(smp_dt.shape[0], dtype=jnp.int32)
+    m = slots[:, None] < emit[None, :]
+    return _composite_parallel(smp_rgb, smp_sigma, smp_dt, smp_rd, m,
+                               t_round_start, weight_sum, depth, rgb_acc)
 
 
 def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
@@ -305,7 +340,7 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 
 def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
                       s: RenderSettings, n_emit, shadow, round_idx=None,
-                      perturb_seed=None):
+                      perturb_seed=None, skip_field=None):
     """Vectorized march: P trajectory steps per ray per round.
 
     The key structural fact (verified against kernel_march_rays,
@@ -331,6 +366,33 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
 
     n_emit [m]: cumulative samples emitted per ray (the reference's
     per-ray step budget, m_max_infer_steps).
+
+    skip_field (optional int32 [cascade*H^3], build_skip_field): chebyshev
+    distance-to-occupied per cell. Replaces the density-threshold compare
+    (df == 0 <=> density > thresh by construction) AND enables a
+    LATTICE-EXACT EMPTY-SPACE EXTENSION — the TPU answer to the
+    reference's morton-bitfield march (render_utils.h:417-522). A
+    bitfield buys nothing here: XLA gathers are descriptor-bound, so 32
+    cells per u32 word still costs one descriptor per probe (no dedup
+    across probes). What *does* cut march work is advancing t WITHOUT
+    gathers: after the P gathered probes, the trajectory recurrence
+    continues for up to s.extend_steps additional steps, each adopted
+    only while its cell provably lies inside the LAST probe's free ball
+    (|cell - cell_last|_inf <= df_last - 1 — every such cell is empty by
+    construction of the field). Because each extension step is the exact
+    same float fold t += clamp(t*dt_gamma, ...), the emitted-sample
+    t-lattice (and hence the emission set) is BIT-IDENTICAL to the
+    no-skip march in every dt regime — full-frame output differs only by
+    round-partition reassociation ULPs (skipping repacks which samples
+    share a composite round; the same equivalence class as changing the
+    S/P knobs, tests/test_render.py::test_round_partition_invariance);
+    the reference's skip-shadow recurrence (tt with the H-1 overshoot
+    quirk) is replayed arithmetically over the adopted steps so
+    empty->occupied transitions after the extension mask emissions
+    exactly as the do-while would. Requires cascade == 1: the emptiness
+    ball lives in one mip's grid, and a skipped lattice point under
+    multiple cascades could have been tested against a different mip.
+
     Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
     n_emit_new [m], shadow_new [m]).
     """
@@ -387,7 +449,11 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
 
     # ---- pass 2: ONE batched occupancy gather -------------------------
     idx_all = jnp.stack(idx_l, axis=0)          # [P, m]
-    occ_all = density_grid[idx_all] > density_thresh
+    if skip_field is not None:
+        df_all = skip_field[idx_all]            # int32 chebyshev distances
+        occ_all = df_all == 0
+    else:
+        occ_all = density_grid[idx_all] > density_thresh
 
     # ---- pass 3: emission with skip-shadow semantics (unrolled) -------
     valid_l, rds_l = [], []
@@ -410,18 +476,50 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     dts = jnp.stack(dts_l, axis=0)    # [P, m]
     rds = jnp.stack(rds_l, axis=0)
     valid = jnp.stack(valid_l, axis=0)
+
+    # ---- pass 4: lattice-exact empty-space extension ------------------
+    # Continue the exact fold recurrence for up to extend_steps gather-
+    # free steps, adopted only while the step's cell stays inside the
+    # last probe's free ball (see docstring).
+    if (skip_field is not None and s.cascade == 1
+            and s.extend_steps > 0):
+        last = P - 1
+        # cell of the last gathered probe (recompute from its position —
+        # cascade==1 so mip_bound == bound)
+        x_last = xs_l[last]
+        cell_last = jnp.clip(0.5 * (x_last / bound + 1.0) * h,
+                             0.0, float(h - 1)).astype(jnp.int32)
+        radius = df_all[last] - 1                       # [m] cells
+        adopted = alive & (df_all[last] >= 2)
+        sh = shadow
+        tk2 = tk  # == the fold value after P steps (t_new for alive rays)
+        for _ in range(s.extend_steps):
+            x = jnp.clip(rays_o + tk2[None, :] * rays_d, -bound, bound)
+            cell = jnp.clip(0.5 * (x / bound + 1.0) * h,
+                            0.0, float(h - 1)).astype(jnp.int32)
+            inside = jnp.max(jnp.abs(cell - cell_last), axis=0) <= radius
+            adopted = adopted & inside & (tk2 < far)
+            dt_k = jnp.clip(tk2 * dt_gamma, dt_min, dt_max)
+            # skip-shadow recurrence at lookup points (render_utils.h:
+            # 641-651 semantics, replayed arithmetically)
+            bnd = ((cell.astype(jnp.float32) + 0.5 + 0.5 * sgn)
+                   / float(h - 1) * 2.0 - 1.0) * bound
+            t_axes = (bnd - x) * rd_inv
+            tt = tk2 + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
+            sh = jnp.where(adopted & (tk2 >= sh), tt, sh)
+            tk2 = tk2 + dt_k
+            t_new = jnp.where(adopted, tk2, t_new)
+        shadow = sh
+
     return t_new, xs, dts, rds, valid, n_emit, shadow
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
-                      n_emit, shadow, round_idx, perturb_seed,
-                      settings: RenderSettings, n_alive_in=None):
-    """Deep march + sample compaction; probe-major counterpart of
-    _round_march. Returns (t_new, valid [P,m], pos01 [3,P*m],
-    dir01 [3,P*m], comp [P*m] compaction indices, dts, rds, n_emit_new,
-    shadow_new, counts[2])."""
-    s = settings
+def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
+                        fars, t, alive, n_emit, shadow, round_idx,
+                        perturb_seed, s: RenderSettings):
+    """Deep march + sample compaction (probe-major). Returns (t_new,
+    valid [P,m], pos01 [3,P*m], dir01 [3,P*m], comp [P*m] compaction
+    indices, n_valid, dts, rds, n_emit_new, shadow_new)."""
     m = t.shape[0]
     P = s.probes_per_round
     ns = P * m
@@ -429,7 +527,8 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
 
     t_new, xs, dts, rds, valid, n_emit_new, shadow_new = _march_round_deep(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
-        shadow, round_idx=round_idx, perturb_seed=perturb_seed)
+        shadow, round_idx=round_idx, perturb_seed=perturb_seed,
+        skip_field=skip_field)
 
     # channel-first sample arrays [3, ns] — batch minor-most so HBM
     # tiles perfectly. (A sample-major [ns, 8] row layout measured ~30ms
@@ -448,45 +547,22 @@ def _round_march_deep(density_grid, rays_o_cf, rays_d_cf, fars, t, alive,
     # composite's row-scatter drops it (mode="drop")
     comp = jnp.full((ns,), ns, jnp.int32).at[
         jnp.where(vflat, dest, ns)].set(src, mode="drop")
-    if n_alive_in is None:
-        n_alive_in = jnp.int32(-1)
-    counts = jnp.stack([n_valid, jnp.asarray(n_alive_in, jnp.int32)])
-    return (t_new, valid, pos01, dir01, comp, dts, rds, n_emit_new,
-            shadow_new, counts)
+    return (t_new, valid, pos01, dir01, comp, n_valid, dts, rds,
+            n_emit_new, shadow_new)
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
                             t_round_start, weight_sum, depth, rgb_acc):
     """_composite_round with an explicit validity mask [P, N] instead of
     slot<emit counts (probe-major layout: invalid slots interleave)."""
-    n = smp_dt.shape[1]
-
-    def body(carry, slot):
-        w_sum, d, racc, t_c, term = carry
-        v = valid[slot] & ~term
-        alpha = 1.0 - jnp.exp(-smp_sigma[slot] * smp_dt[slot])
-        big_t = 1.0 - w_sum
-        w = alpha * big_t
-        wv = jnp.where(v, w, 0.0)
-        t_c = t_c + jnp.where(v, smp_rd[slot], 0.0)
-        d = d + wv * t_c
-        racc = racc + wv[None, :] * smp_rgb[:, slot, :]
-        w_sum = w_sum + wv
-        term = term | (v & (big_t < 1e-4))
-        return (w_sum, d, racc, t_c, term), None
-
-    init = (weight_sum, depth, rgb_acc, t_round_start,
-            jnp.zeros((n,), bool))
-    (w_sum, d, racc, _, term), _ = jax.lax.scan(
-        body, init, jnp.arange(smp_dt.shape[0], dtype=jnp.int32))
-    return w_sum, d, racc, term
+    return _composite_parallel(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
+                               t_round_start, weight_sum, depth, rgb_acc)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "all_lanes"))
-def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
-                          orig, n_emit, w_sum_full, depth_full, rgb_full,
-                          fars, t_new, settings: RenderSettings,
-                          all_lanes: bool = False):
+def _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
+                            orig, n_emit, w_sum_full, depth_full, rgb_full,
+                            fars, t_new, s: RenderSettings,
+                            all_lanes: bool = False):
     """Probe-major compositing of eval results into full-chunk
     accumulators.
 
@@ -497,7 +573,6 @@ def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
     size descriptors per channel, all arrays perfectly tiled. The flag is
     explicit because a gather bucket can coincidentally equal P*m.
     """
-    s = settings
     m = t.shape[0]
     P = dts.shape[0]
     ns = P * m
@@ -528,6 +603,20 @@ def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
                  & (n_emit < jnp.int32(s.max_infer_steps)))
     return (w_sum_full, depth_full, rgb_full, alive_new,
             jnp.sum(alive_new.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "all_lanes"))
+def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
+                          orig, n_emit, w_sum_full, depth_full, rgb_full,
+                          fars, t_new, settings: RenderSettings,
+                          all_lanes: bool = False):
+    """Standalone composite program — the overflow-REPLAY path of the
+    merged round (see _round_merged): re-composites from the merged
+    program's march outputs and the immutable pre-round accumulators."""
+    return _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds,
+                                   t, alive, orig, n_emit, w_sum_full,
+                                   depth_full, rgb_full, fars, t_new,
+                                   settings, all_lanes=all_lanes)
 
 
 # ---------------------------------------------------------------------------
@@ -567,6 +656,100 @@ def _eval_all_lanes(apply_fn: Callable, params, pos01, dir01):
     P*m, skipping compaction entirely is cheaper than gathering — the
     network runs on every lane and the composite masks by validity."""
     return apply_fn(params, pos01, dir01)
+
+
+def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
+                       rays_o_cf, rays_d_cf, fars, t, alive, n_emit, shadow,
+                       orig, w_sum, depth, rgb, round_idx, perturb_seed,
+                       settings: RenderSettings, bucket):
+    """March + network eval + composite as ONE jitted program per
+    chunk-round — the fused form of the reference's hot loop
+    (src/nerf_render.cu:269-338).
+
+    Round 2 measured ~65% of an 800x800 frame as Python dispatch/readback
+    (127 rounds x 3 jit calls + per-wave count reads, BENCH_r02); fusing
+    the three phases cuts dispatch 3x and lets XLA fuse across the
+    phase boundaries. The price: the eval batch size must be chosen
+    STATICALLY before the march's valid-sample count is known, so the
+    host picks `bucket` optimistically from the previous round's count:
+      bucket=None -> evaluate ALL P*m lanes (never overflows),
+      bucket=0    -> skip eval entirely (empty-space round),
+      bucket=k    -> evaluate the compacted k-prefix.
+    If the true count exceeds the bucket, counts[2] flags OVERFLOW: the
+    composited accumulators in the return value are invalid, and the
+    host replays eval+composite from the returned march intermediates
+    plus the (immutable) pre-round accumulators — the march itself is
+    never redone (_round_composite_deep / _eval_bucket_gather).
+
+    Returns (t_new, n_emit_new, shadow_new, valid [P,m], pos01, dir01,
+    comp, dts, rds, w_sum', depth', rgb', alive', counts[3]) with
+    counts = [n_valid, n_alive', overflow].
+    """
+    s = settings
+    m = t.shape[0]
+    ns = s.probes_per_round * m
+
+    (t_new, valid, pos01, dir01, comp, n_valid, dts, rds, n_emit_new,
+     shadow_new) = _march_compact_core(
+        density_grid, skip_field, rays_o_cf, rays_d_cf, fars, t, alive,
+        n_emit, shadow, round_idx, perturb_seed, s)
+
+    if bucket is None or bucket > 0:
+        if bucket is None:
+            rgb_k, sigma_k = apply_fn(params, pos01, dir01)
+            all_lanes = True
+        else:
+            rgb_k, sigma_k = _eval_gather_core(apply_fn, params, pos01,
+                                               dir01, comp, bucket)
+            all_lanes = False
+        w2, d2, rgb2, alive2, n_alive = _composite_scatter_core(
+            rgb_k, sigma_k, comp, valid, dts, rds, t, alive, orig,
+            n_emit_new, w_sum, depth, rgb, fars, t_new, s,
+            all_lanes=all_lanes)
+    else:  # bucket == 0: pure traversal round, no network
+        w2, d2, rgb2 = w_sum, depth, rgb
+        alive2 = (alive & (t_new < fars)
+                  & (n_emit_new < jnp.int32(s.max_infer_steps)))
+        n_alive = jnp.sum(alive2.astype(jnp.int32))
+
+    cap = jnp.int32(0 if bucket is None else bucket)
+    overflow = (jnp.int32(0) if bucket is None
+                else (n_valid > cap).astype(jnp.int32))
+    counts = jnp.stack([n_valid, n_alive, overflow])
+    return (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
+            dts, rds, w2, d2, rgb2, alive2, counts)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "settings",
+                                             "bucket"))
+def _round_merged(apply_fn: Callable, params, density_grid, skip_field,
+                  rays_o_cf, rays_d_cf, fars, t, alive, n_emit, shadow,
+                  orig, w_sum, depth, rgb, round_idx, perturb_seed,
+                  settings: RenderSettings, bucket):
+    return _round_merged_core(apply_fn, params, density_grid, skip_field,
+                              rays_o_cf, rays_d_cf, fars, t, alive, n_emit,
+                              shadow, orig, w_sum, depth, rgb, round_idx,
+                              perturb_seed, settings, bucket)
+
+
+def _choose_bucket(k_est: int, ns: int, allowed):
+    """Static eval size for the next merged round from the PREVIOUS
+    round's valid-sample count (stale by one round — the price of the
+    fused dispatch; overflow triggers a cheap replay). 2x headroom covers
+    count growth at surface-crossing rounds; k_est < 0 means round 0
+    (no information) and guesses a small bucket."""
+    if k_est < 0:
+        k_est = max(1, ns // 32)
+    if k_est == 0:
+        return 0
+    headroom = 2 * k_est
+    if headroom >= ns // 2:
+        return None
+    sizes = _bucket_sizes(ns, allowed)
+    for sz in sizes:
+        if sz >= headroom:
+            return None if sz >= ns // 2 else sz
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("m_out",))
@@ -643,32 +826,32 @@ def _concat_counts(parts):
 
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          rays_d, nears, fars, settings: RenderSettings,
-                         perturb_seed=None, stats=None) -> RenderResult:
+                         perturb_seed=None, stats=None,
+                         skip_field=None) -> RenderResult:
     """Host-looped equivalent of render_rays (single device).
 
-    Each round: (1) deep march (up to probes_per_round samples per ray)
-    + sample compaction on device, (2) the host reads the valid-sample
-    count (the analog of the reference's alive-counter readback,
-    nerf_render.cu:288-292) and picks the smallest static bucket that
-    fits, (3) the network runs on just that bucket, (4) un-compact +
-    composite into full-chunk accumulators.
+    Each chunk-round is ONE merged jitted program (_round_merged):
+    march -> eval -> composite, with the eval batch chosen STATICALLY
+    from the previous round's valid-sample count and an overflow-replay
+    fallback (round 2 measured ~65% of the frame as per-phase dispatch
+    overhead; the merge is VERDICT r2's top item). The host's only syncs
+    are ONE concatenated count read per WAVE (the analog of the
+    reference's alive-counter readback, nerf_render.cu:288-292).
 
-    Two compaction levels recover the reference's wins with static shapes:
-      - samples within a round (kernel_compact_rays applied to the sample
-        batch): the network sees a bucket-sized prefix, not all P*N lanes;
-      - RAYS across rounds: when the alive count fits a smaller ladder
-        bucket, the working set (t/origins/dirs/fars/orig/n_emit) is
-        compacted so the march stops paying for dead lanes
-        (nerf_render.cu:284-302).
+    Cross-round RAY compaction is unchanged: when the alive count fits a
+    smaller ladder bucket, the working set (t/origins/dirs/fars/orig/
+    n_emit/shadow) is compacted so the march stops paying for dead lanes
+    (nerf_render.cu:284-302).
 
-    PIPELINED over chunks: the per-round count readback costs a ~26ms
-    relay RTT; chunks are round-robined and each chunk's counts are
-    fetched with copy_to_host_async while the device runs other chunks'
-    rounds, so the RTT overlaps device work instead of serializing it.
-    Control decisions (bucket, compaction, termination) run on stale
-    counts — upper bounds, since alive counts only decrease — while the
-    math itself is ordered by device-side data dependencies, so the frame
-    is bit-identical to the sequential loop.
+    skip_field (build_skip_field) enables long-range empty-space jumps
+    in the march — see _march_round_deep.
+
+    PIPELINED over chunks: the per-wave count readback costs a ~26ms
+    relay RTT; chunks are round-robined so the RTT overlaps device work.
+    Control decisions (bucket, compaction, termination) run on
+    one-round-stale counts while the math itself is ordered by
+    device-side data dependencies, so the frame equals the sequential
+    loop's.
     """
     import numpy as _np
 
@@ -678,8 +861,7 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
     ladder = _ray_buckets(chunk, s.ray_bucket_set)
-    max_host_rounds = 8 + 2 * (s.max_infer_steps
-                               // max(1, s.probes_per_round))
+    max_host_rounds = _max_host_rounds(s)
 
     class _Chunk:
         pass
@@ -710,28 +892,28 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         st.n_emit = jnp.zeros((chunk,), jnp.int32)
         st.shadow = jnp.zeros((chunk,), jnp.float32)
         st.m = chunk
-        st.n_alive_dev = jnp.sum(st.alive.astype(jnp.int32))
         st.n_alive_est = chunk  # upper bound; refined by the first counts
+        st.k_est = -1           # previous round's valid-sample count
         st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
         st.rounds = 0
-        st.pending = None  # in-flight counts of the last issued march
+        st.pending = None  # in-flight outputs of the last merged round
         states.append(st)
 
     # ---- lockstep waves -------------------------------------------------
-    # Per wave: every active chunk issues (compact?, march); then ONE
-    # batched host read returns ALL chunks' (n_valid, n_alive) pairs; then
-    # every chunk dispatches its eval+composite. Host reads through the
-    # relay cost ~26ms EACH regardless of payload and do not overlap —
-    # per-chunk-per-round reads measured 160 x 26ms = 4.2s on an 800x800
-    # frame (the whole frame time). One read per wave amortizes that
-    # across all chunks; device work still pipelines across chunks within
-    # the wave (dispatches are async).
+    # Per wave: every active chunk issues (compact?, merged round); then
+    # ONE batched host read returns ALL chunks' (n_valid, n_alive,
+    # overflow) triples; then overflowed chunks dispatch their replay.
+    # Host reads through the relay cost ~26ms EACH regardless of payload
+    # and do not overlap — per-chunk-per-round reads measured 160 x 26ms
+    # = 4.2s on an 800x800 frame (the whole frame time). One read per
+    # wave amortizes that across all chunks; device work still pipelines
+    # across chunks within the wave (dispatches are async).
     import time as _time
 
     active = list(states)
     max_rounds_seen = 0
     wave = 0
-    counts_pad = jnp.zeros((2,), jnp.int32)
+    counts_pad = jnp.zeros((3,), jnp.int32)
     while active and wave < max_host_rounds:
         t_wave = _time.perf_counter()
         for st in active:
@@ -743,66 +925,81 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                     st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
                     st.n_emit, st.shadow, target)
                 st.m = target
-            (st.t_new, st.valid, st.pos01, st.dir01, st.comp, st.dts,
-             st.rds, st.n_emit_new, st.shadow,
-             st.pending) = _round_march_deep(
-                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
-                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c, s,
-                n_alive_in=st.n_alive_dev)
+            bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+                                    s.bucket_set)
+            st.pending = _round_merged(
+                apply_fn, params, density_grid, skip_field, st.o_cf,
+                st.d_cf, st.frw, st.t, st.alive, st.n_emit, st.shadow,
+                st.orig, st.w_sum, st.depth, st.rgb, jnp.int32(st.rounds),
+                st.seed_c, s, bucket)
 
         # the ONE host sync of the wave
         allc = _concat_counts(
-            tuple(st.pending for st in active)
+            tuple(st.pending[-1] for st in active)
             + (counts_pad,) * (len(states) - len(active)))
         t_read = _time.perf_counter()
-        vals = _np.asarray(allc).reshape(-1, 2)[:len(active)]
+        vals = _np.asarray(allc).reshape(-1, 3)[:len(active)]
         t_done = _time.perf_counter()
 
         still = []
         for i, st in enumerate(active):
-            k = int(vals[i, 0])
-            if int(vals[i, 1]) >= 0:
-                st.n_alive_est = int(vals[i, 1])
-            if k > 0:
+            (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
+             dts, rds, w2, d2, rgb2, alive2, _c) = st.pending
+            k, n_alive, ovf = (int(vals[i, 0]), int(vals[i, 1]),
+                               int(vals[i, 2]))
+            st.k_est = k
+            if ovf:
+                # the merged program under-evaluated: replay eval +
+                # composite from its march outputs and the still-held
+                # pre-round accumulators (march is not redone)
                 ns = s.probes_per_round * st.m
                 all_lanes = k >= ns // 2
                 if all_lanes:
-                    # dense round: compaction would not pay for itself
                     rgb_k, sigma_k = _eval_all_lanes(
-                        apply_fn, params, st.pos01, st.dir01)
+                        apply_fn, params, pos01, dir01)
                 else:
                     sizes = _bucket_sizes(ns, s.bucket_set)
                     size = next((sz for sz in sizes if sz >= k),
                                 sizes[-1])
                     rgb_k, sigma_k = _eval_bucket_gather(
-                        apply_fn, params, st.pos01, st.dir01, st.comp,
-                        size)
+                        apply_fn, params, pos01, dir01, comp, size)
                 (st.w_sum, st.depth, st.rgb, st.alive,
-                 st.n_alive_dev) = _round_composite_deep(
-                    rgb_k, sigma_k, st.comp, st.valid, st.dts, st.rds,
-                    st.t, st.alive, st.orig, st.n_emit_new, st.w_sum,
-                    st.depth, st.rgb, st.frw, st.t_new, s,
-                    all_lanes=all_lanes)
+                 _n_alive_dev) = _round_composite_deep(
+                    rgb_k, sigma_k, comp, valid, dts, rds, st.t,
+                    st.alive, st.orig, n_emit_new, st.w_sum, st.depth,
+                    st.rgb, st.frw, t_new, s, all_lanes=all_lanes)
+                # merged n_alive is a safe OVERestimate here (fewer
+                # composited samples => less termination); scheduling
+                # self-corrects on the next wave's counts
             else:
-                st.alive = (st.alive & (st.t_new < st.frw)
-                            & (st.n_emit_new < s.max_infer_steps))
-                st.n_alive_dev = jnp.sum(st.alive.astype(jnp.int32))
-            st.t = st.t_new
-            st.n_emit = st.n_emit_new
+                st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
+            st.n_alive_est = n_alive
+            st.t = t_new
+            st.n_emit = n_emit_new
+            st.shadow = shadow_new
+            st.pending = None  # release the round's sample buffers
             st.rounds += 1
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k,
+                    dict(chunk=st.index, m=st.m, k=k, overflow=ovf,
                          n_alive_est=st.n_alive_est,
-                         march_s=t_read - t_wave,
+                         merged_s=t_read - t_wave,
                          read_s=t_done - t_read,
-                         eval_comp_s=_time.perf_counter() - t_done))
+                         replay_s=_time.perf_counter() - t_done))
             if st.n_alive_est > 0:
                 still.append(st)
             else:
                 max_rounds_seen = max(max_rounds_seen, st.rounds)
         active = still
         wave += 1
+    if active:
+        import warnings
+
+        warnings.warn(
+            f"host-loop wave cap hit ({max_host_rounds} waves) with "
+            f"{len(active)} chunk(s) still active — frame finalized with "
+            "live rays (should be unreachable; cap derives from the "
+            "worst-case trajectory length)", RuntimeWarning)
     for st in active:
         max_rounds_seen = max(max_rounds_seen, st.rounds)
 
@@ -854,24 +1051,33 @@ class _ShardedRounds:
             core, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False))
 
-    def march(self):
-        key = "march"
+    def merged(self, bucket, has_skip_field: bool):
+        """shard_mapped merged round (march+eval+composite, one program);
+        bucket is the PER-SHARD static eval size (None/0/int). Per-device
+        counts [3] concatenate to a global [3*D] for the wave read."""
+        key = ("merged", bucket, has_skip_field)
         if key not in self._cache:
             s = self.s
+            apply_fn = self.apply_fn
 
-            def core(dg, o, d, fr, t, alive, ne, sh, ri, sd, na):
-                return _round_march_deep(dg, o, d, fr, t, alive, ne, sh,
-                                         ri, sd, s, n_alive_in=na[0])
+            def core(p, dg, sf, o, d, fr, t, alive, ne, sh, orig,
+                     w, dep, rgb, ri, sd):
+                return _round_merged_core(
+                    apply_fn, p, dg, sf, o, d, fr, t, alive, ne, sh,
+                    orig, w, dep, rgb, ri, sd, s, bucket)
 
             self._cache[key] = self._smap(
                 core,
-                (self._p0, self._pc, self._pc, self._pr, self._pr,
-                 self._pr, self._pr, self._pr, self._p0, self._p0,
-                 self._pr),
-                # t_new, valid[P,m], pos01[3,ns], dir01[3,ns], comp[ns],
-                # dts, rds, n_emit, shadow, counts
-                (self._pr, self._pc, self._pc, self._pc, self._pr,
-                 self._pc, self._pc, self._pr, self._pr, self._pr))
+                (self._p0, self._p0, self._p0, self._pc, self._pc,
+                 self._pr, self._pr, self._pr, self._pr, self._pr,
+                 self._pr, self._pr, self._pr, self._pc, self._p0,
+                 self._p0),
+                # t_new, n_emit, shadow, valid[P,m], pos01[3,ns],
+                # dir01[3,ns], comp[ns], dts, rds, w, depth, rgb, alive,
+                # counts[3]
+                (self._pr, self._pr, self._pr, self._pc, self._pc,
+                 self._pc, self._pr, self._pc, self._pc, self._pr,
+                 self._pr, self._pc, self._pr, self._pr))
         return self._cache[key]
 
     def eval_bucket(self, size):
@@ -930,21 +1136,6 @@ class _ShardedRounds:
                  self._pr, self._pr, self._pr))
         return self._cache[key]
 
-    def liveness(self):
-        """k==0 rounds: drop rays that flew past far (no composite ran)."""
-        key = "liveness"
-        if key not in self._cache:
-            max_steps = self.s.max_infer_steps
-
-            def core(alive, t_new, fr, ne):
-                alive2 = alive & (t_new < fr) & (ne < max_steps)
-                return alive2, jnp.sum(alive2.astype(jnp.int32))[None]
-
-            self._cache[key] = self._smap(
-                core, (self._pr, self._pr, self._pr, self._pr),
-                (self._pr, self._pr))
-        return self._cache[key]
-
     def finalize(self):
         key = "finalize"
         if key not in self._cache:
@@ -961,15 +1152,17 @@ class _ShardedRounds:
 
 def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                                  density_grid, rays_o, rays_d, nears, fars,
-                                 perturb_seed=None,
-                                 stats=None) -> RenderResult:
+                                 perturb_seed=None, stats=None,
+                                 skip_field=None) -> RenderResult:
     """Multi-chip host-looped render (see render_rays_hostloop).
 
-    rays are globally [N]; each device owns N/D contiguous rays. Bucket /
-    compaction decisions use the MAX per-device counts so every shard
-    runs the same static shapes (SPMD). Chunks run as lockstep WAVES with
-    ONE concatenated [(chunks)*2*D] count readback per wave — the same
-    RTT batching as the single-device loop.
+    rays are globally [N]; each device owns N/D contiguous rays. Each
+    chunk-round is one shard_mapped MERGED program (march+eval+composite)
+    whose static eval bucket comes from the previous round's MAX
+    per-device count, so every shard runs the same shapes (SPMD);
+    overflow replays eval+composite at the true size. Chunks run as
+    lockstep WAVES with ONE concatenated [(chunks)*3*D] count readback
+    per wave — the same RTT batching as the single-device loop.
     """
     import numpy as _np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -989,8 +1182,7 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     ladder = _ray_buckets(n_local, s.ray_bucket_set)
     seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
         perturb_seed, jnp.int32)
-    max_host_rounds = 8 + 2 * (s.max_infer_steps
-                               // max(1, s.probes_per_round))
+    max_host_rounds = _max_host_rounds(s)
 
     params = jax.device_put(params, sh_0)
     density_grid = jax.device_put(density_grid, sh_0)
@@ -1034,17 +1226,22 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         st.shadow = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
         st.m = n_local
         alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
-        st.n_alive_dev = jax.device_put(alive_d.astype(_np.int32), sh_r)
         st.max_alive = int(alive_d.max())
         st.total_alive = int(alive_d.sum())
+        st.k_est = -1  # previous round's max per-device sample count
         st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
         st.rounds = 0
+        st.pending = None
         states.append(st)
+
+    has_sf = skip_field is not None
+    if has_sf:
+        skip_field = jax.device_put(skip_field, sh_0)
 
     active = list(states)
     max_rounds_seen = 0
     wave = 0
-    counts_pad = jnp.zeros((2 * d_cnt,), jnp.int32)
+    counts_pad = jnp.zeros((3 * d_cnt,), jnp.int32)
     while active and wave < max_host_rounds:
         for st in active:
             target = min((b for b in ladder if b >= st.max_alive),
@@ -1055,26 +1252,30 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                     st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
                     st.n_emit, st.shadow)
                 st.m = target
-            (st.t_new, st.valid, st.pos01, st.dir01, st.comp, st.dts,
-             st.rds, st.n_emit_new, st.shadow,
-             st.pending) = rounds.march()(
-                density_grid, st.o_cf, st.d_cf, st.frw, st.t, st.alive,
-                st.n_emit, st.shadow, jnp.int32(st.rounds), st.seed_c,
-                st.n_alive_dev)
+            bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+                                    s.bucket_set)
+            st.pending = rounds.merged(bucket, has_sf)(
+                params, density_grid, skip_field, st.o_cf, st.d_cf,
+                st.frw, st.t, st.alive, st.n_emit, st.shadow, st.orig,
+                st.w_sum, st.depth, st.rgb, jnp.int32(st.rounds),
+                st.seed_c)
 
         allc = _concat_counts(
-            tuple(st.pending for st in active)
+            tuple(st.pending[-1] for st in active)
             + (counts_pad,) * (len(states) - len(active)))
-        vals = _np.asarray(allc)[:2 * d_cnt * len(active)].reshape(
-            len(active), d_cnt, 2)  # the ONE host sync of the wave
+        vals = _np.asarray(allc)[:3 * d_cnt * len(active)].reshape(
+            len(active), d_cnt, 3)  # the ONE host sync of the wave
 
         still = []
         for i, st in enumerate(active):
+            (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
+             dts, rds, w2, d2, rgb2, alive2, _c) = st.pending
             k_max = int(vals[i, :, 0].max())
-            if int(vals[i, 0, 1]) >= 0:
-                st.max_alive = int(vals[i, :, 1].max())
-                st.total_alive = int(vals[i, :, 1].sum())
-            if k_max > 0:
+            alive_vec = vals[i, :, 1]
+            ovf = int(vals[i, :, 2].max())
+            st.k_est = k_max
+            if ovf:
+                # SPMD replay: uniform static bucket from the max count
                 ns_local = s.probes_per_round * st.m
                 all_lanes = k_max >= ns_local // 2
                 if all_lanes:
@@ -1084,21 +1285,26 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                     size = next((sz for sz in sizes if sz >= k_max),
                                 sizes[-1])
                 rgb_k, sigma_k = rounds.eval_bucket(size)(
-                    params, st.pos01, st.dir01, st.comp)
+                    params, pos01, dir01, comp)
                 (st.w_sum, st.depth, st.rgb, st.alive,
-                 st.n_alive_dev) = rounds.composite(all_lanes)(
-                    rgb_k, sigma_k, st.comp, st.valid, st.dts, st.rds,
-                    st.t, st.alive, st.orig, st.n_emit_new, st.w_sum,
-                    st.depth, st.rgb, st.frw, st.t_new)
+                 _n_alive) = rounds.composite(all_lanes)(
+                    rgb_k, sigma_k, comp, valid, dts, rds, st.t,
+                    st.alive, st.orig, n_emit_new, st.w_sum, st.depth,
+                    st.rgb, st.frw, t_new)
+                # alive counts from the merged program are a safe
+                # overestimate on overflow; next wave self-corrects
             else:
-                st.alive, st.n_alive_dev = rounds.liveness()(
-                    st.alive, st.t_new, st.frw, st.n_emit_new)
-            st.t = st.t_new
-            st.n_emit = st.n_emit_new
+                st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
+            st.max_alive = int(alive_vec.max())
+            st.total_alive = int(alive_vec.sum())
+            st.t = t_new
+            st.n_emit = n_emit_new
+            st.shadow = shadow_new
+            st.pending = None
             st.rounds += 1
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k_max,
+                    dict(chunk=st.index, m=st.m, k=k_max, overflow=ovf,
                          max_alive=st.max_alive,
                          total_alive=st.total_alive))
             if st.total_alive > 0:
@@ -1107,6 +1313,13 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                 max_rounds_seen = max(max_rounds_seen, st.rounds)
         active = still
         wave += 1
+    if active:
+        import warnings
+
+        warnings.warn(
+            f"sharded host-loop wave cap hit ({max_host_rounds} waves) "
+            f"with {len(active)} chunk(s) still active — frame finalized "
+            "with live rays", RuntimeWarning)
     for st in active:
         max_rounds_seen = max(max_rounds_seen, st.rounds)
 

@@ -91,17 +91,25 @@ def render_train(net, params, rays_o, rays_d, nears, fars,
 
 @functools.partial(jax.jit,
                    static_argnames=("net", "loss_fn", "tx", "settings",
-                                    "n_samples"))
+                                    "n_samples", "brick_reg"))
 def train_step(net, loss_fn, tx, settings: RenderSettings, params, opt_state,
                rays_o, rays_d, nears, fars, target_rgb, key,
-               n_samples: int = 128, density_grid=None):
+               n_samples: int = 128, density_grid=None,
+               brick_reg: float = 0.0):
     """One optimization step; dp over rays comes from sharded inputs."""
 
     def objective(p):
         rgb, _, _ = render_train(net, p, rays_o, rays_d, nears, fars,
                                  settings, n_samples=n_samples, key=key,
                                  density_grid=density_grid)
-        return jnp.mean(loss_fn(rgb, target_rgb))
+        loss = jnp.mean(loss_fn(rgb, target_rgb))
+        if brick_reg:
+            # brick-face consistency (TpuGrid): pull the independent
+            # copies of shared boundary cells together (VERDICT r2 #6)
+            loss = loss + jnp.float32(brick_reg) \
+                * net.pos_encoding.brick_consistency_loss(
+                    p["pos_encoding"], jax.random.fold_in(key, 0x6B1C))
+        return loss
 
     loss, grads = jax.value_and_grad(objective)(params)
     updates, opt_state = tx.update(grads, opt_state, params)
@@ -116,10 +124,11 @@ class Trainer:
     def __init__(self, net, settings: RenderSettings,
                  loss_config: Optional[Dict] = None,
                  optimizer_config: Optional[Dict] = None,
-                 n_samples: int = 128):
+                 n_samples: int = 128, brick_reg: float = 0.0):
         self.net = net
         self.settings = settings
         self.n_samples = n_samples
+        self.brick_reg = float(brick_reg)
         # grid encodings: packed bf16-pair gathers go through bitcasts,
         # which are not reverse-differentiable — train on the f32 path
         enc = getattr(net, "pos_encoding", None)
@@ -142,7 +151,8 @@ class Trainer:
         params, opt_state, loss = train_step(
             self.net, self.loss_fn, self.tx, self.settings, params,
             opt_state, rays_o, rays_d, nears, fars, target, key,
-            n_samples=self.n_samples, density_grid=density_grid)
+            n_samples=self.n_samples, density_grid=density_grid,
+            brick_reg=self.brick_reg)
         if self.ema_decay is not None and ema is not None:
             d = self.ema_decay
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema,

@@ -16,3 +16,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The merged round programs (march+eval+composite in one jit,
+# render/march.py) cost 15-30s EACH to compile on CPU; the committed
+# persistent cache makes repeat suite runs near-instant (same mechanism
+# bench.py uses for the remote TPU compiles).
+from nerf_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".xla_cache"))

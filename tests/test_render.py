@@ -389,6 +389,86 @@ def test_hostloop_ray_compaction_matches_device_loop():
                                np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
 
 
+def test_merged_overflow_replay_matches_device_loop():
+    """The merged round program picks its eval bucket from the PREVIOUS
+    round's sample count; at surface-crossing rounds the count jumps and
+    the overflow-replay path must reproduce the device loop exactly."""
+    import dataclasses
+
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, 0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    dev = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+    stats = {}
+    # a tiny bucket table guarantees at least one overflow round
+    host = render_rays_hostloop(
+        apply_cf, params, grid, rays_o, rays_d, nears, fars,
+        dataclasses.replace(settings, ray_chunk=100, bucket_set=(32, 128)),
+        stats=stats)
+    assert sum(r["overflow"] for r in stats["rounds"]) >= 1, stats["rounds"]
+    np.testing.assert_allclose(np.asarray(host.rgb), np.asarray(dev.rgb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.weight_sum),
+                               np.asarray(dev.weight_sum), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.depth),
+                               np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
+
+
+def test_skip_field_extension_preserves_emissions():
+    """The lattice-exact empty-space extension must emit the IDENTICAL
+    sample set (march.py pass 4 docstring) in fewer rounds; the frame may
+    differ only by round-partition reassociation ULPs."""
+    import dataclasses
+
+    from nerf_tpu.core.types import DENSITY_THRESH
+    from nerf_tpu.render.density_grid import build_skip_field
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, 0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    thresh = min(DENSITY_THRESH, settings.mean_density)
+    sf = build_skip_field(grid, jnp.float32(thresh), settings.grid_h,
+                          settings.cascade, 32)
+    s1 = dataclasses.replace(settings, ray_chunk=100)
+    base_stats, skip_stats = {}, {}
+    base = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                nears, fars, s1, stats=base_stats)
+    skip = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                nears, fars, s1, stats=skip_stats,
+                                skip_field=sf)
+    # identical emissions, fewer rounds
+    assert (sum(r["k"] for r in skip_stats["rounds"])
+            == sum(r["k"] for r in base_stats["rounds"]))
+    assert len(skip_stats["rounds"]) < len(base_stats["rounds"])
+    np.testing.assert_allclose(np.asarray(skip.rgb), np.asarray(base.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(skip.depth),
+                               np.asarray(base.depth), rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_hostloop_matches_single_device():
     """The shard_mapped host-loop renderer (per-device ray blocks, local
     compaction, max-count bucket decisions) must reproduce the

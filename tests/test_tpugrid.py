@@ -173,3 +173,39 @@ def test_train_step_with_tpugrid():
         params, opt_state, ema, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     assert float(jnp.max(jnp.abs(params["pos_encoding"] - p0))) > 0
+
+
+def test_packed_f4_matches_f32_path():
+    """F=4 packed rows (54 u32 bf16 pairs, padded to 64): half the
+    descriptors of the 16-level F=2 flagship at equal output width."""
+    enc = TpuGridEncoding(3, {"n_levels": 4, "n_features_per_level": 4,
+                              "log2_rows": 8, "base_resolution": 16,
+                              "packed_gather": True})
+    params = enc.init_params(jax.random.PRNGKey(1)) * 100.0
+    x = jax.random.uniform(jax.random.PRNGKey(3), (3, 511), jnp.float32)
+    enc.packed_gather = False
+    ref = np.asarray(enc.apply_cf(params, x))
+    enc.packed_gather = True
+    prep = enc.prepare_params(params)
+    assert "ptable" in prep and prep["ptable"].shape[1] == 64
+    out = np.asarray(enc.apply_cf(prep, x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, rel  # bf16 storage rounding only
+
+
+def test_int8_rows_match_f32_path():
+    """int8 + per-row bf16 scale rows (16 u32): the w=16 gather class —
+    142M rows/s and 4x fewer bytes than the 64-u32 bf16 row."""
+    enc = TpuGridEncoding(3, {"n_levels": 4, "n_features_per_level": 2,
+                              "log2_rows": 8, "base_resolution": 16,
+                              "packed_gather": True, "row_quant": "int8"})
+    params = enc.init_params(jax.random.PRNGKey(2)) * 100.0
+    x = jax.random.uniform(jax.random.PRNGKey(4), (3, 511), jnp.float32)
+    enc.packed_gather = False
+    ref = np.asarray(enc.apply_cf(params, x))
+    enc.packed_gather = True
+    prep = enc.prepare_params(params)
+    assert "qtable" in prep and prep["qtable"].shape[1] == 16
+    out = np.asarray(enc.apply_cf(prep, x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel  # int8 quantization, per-row scaled
