@@ -736,10 +736,12 @@ def _choose_bucket(k_est: int, ns: int, allowed):
     """Static eval size for the next merged round from the PREVIOUS
     round's valid-sample count (stale by one round — the price of the
     fused dispatch; overflow triggers a cheap replay). 2x headroom covers
-    count growth at surface-crossing rounds; k_est < 0 means round 0
-    (no information) and guesses a small bucket."""
+    count growth at surface-crossing rounds; k_est < 0 means the first
+    rounds (no information yet) and guesses ns/8 — generous, because the
+    depth-2 pipeline issues round 1 before round 0's count arrives and
+    an early overflow costs a pipeline restart."""
     if k_est < 0:
-        k_est = max(1, ns // 32)
+        k_est = max(1, ns // 8)
     if k_est == 0:
         return 0
     headroom = 2 * k_est
@@ -899,59 +901,98 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         st.pending = None  # in-flight outputs of the last merged round
         states.append(st)
 
-    # ---- lockstep waves -------------------------------------------------
-    # Per wave: every active chunk issues (compact?, merged round); then
-    # ONE batched host read returns ALL chunks' (n_valid, n_alive,
-    # overflow) triples; then overflowed chunks dispatch their replay.
-    # Host reads through the relay cost ~26ms EACH regardless of payload
-    # and do not overlap — per-chunk-per-round reads measured 160 x 26ms
-    # = 4.2s on an 800x800 frame (the whole frame time). One read per
-    # wave amortizes that across all chunks; device work still pipelines
-    # across chunks within the wave (dispatches are async).
+    # ---- pipelined lockstep waves ---------------------------------------
+    # Per wave: every runnable chunk ISSUES its next merged round chained
+    # on the newest in-flight outputs (device-side data dependency, no
+    # host sync), then ONE batched read retires every chunk's OLDEST
+    # in-flight round. With pipeline depth 2, round r's count read
+    # overlaps round r+1's device work — without it, the counts (which
+    # depend on the merged program's composite) turn every wave read into
+    # a full device barrier (measured: the entire 800x800 frame time).
+    # Overflow mid-pipeline invalidates the dependent in-flight round: it
+    # is DISCARDED and re-issued from the replayed (corrected) state with
+    # the same round index, so results are unchanged.
     import time as _time
 
-    active = list(states)
+    depth_pipe = 2
     max_rounds_seen = 0
-    wave = 0
     counts_pad = jnp.zeros((3,), jnp.int32)
-    while active and wave < max_host_rounds:
-        t_wave = _time.perf_counter()
-        for st in active:
-            target = min((b for b in ladder if b >= st.n_alive_est),
-                         default=st.m)
-            if target < st.m:
-                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                 st.n_emit, st.shadow) = _compact_rays(
-                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                    st.n_emit, st.shadow, target)
-                st.m = target
-            bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
-                                    s.bucket_set)
-            st.pending = _round_merged(
-                apply_fn, params, density_grid, skip_field, st.o_cf,
-                st.d_cf, st.frw, st.t, st.alive, st.n_emit, st.shadow,
-                st.orig, st.w_sum, st.depth, st.rgb, jnp.int32(st.rounds),
-                st.seed_c, s, bucket)
+    capped = []
+    for st in states:
+        st.inflight = []  # (round_idx, bucket, inputs, outputs) fifo
+        st.issued = 0
+        st.done = False
 
-        # the ONE host sync of the wave
+    def _issue(st):
+        if st.inflight:
+            o = st.inflight[-1][3]
+            t, n_emit, shadow = o[0], o[1], o[2]
+            w, dep, rgb, alive = o[9], o[10], o[11], o[12]
+        else:
+            t, n_emit, shadow = st.t, st.n_emit, st.shadow
+            w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
+        bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+                                s.bucket_set)
+        inputs = (t, alive, n_emit, shadow, w, dep, rgb)
+        out = _round_merged(
+            apply_fn, params, density_grid, skip_field, st.o_cf, st.d_cf,
+            st.frw, t, alive, n_emit, shadow, st.orig, w, dep, rgb,
+            jnp.int32(st.issued), st.seed_c, s, bucket)
+        st.inflight.append((st.issued, bucket, inputs, out))
+        st.issued += 1
+
+    while True:
+        t_wave = _time.perf_counter()
+        for st in states:
+            if st.done:
+                continue
+            # FILL the pipeline to depth_pipe (issuing just one per wave
+            # would retire it in the same wave's read and never overlap)
+            while len(st.inflight) < depth_pipe:
+                if st.issued >= max_host_rounds:
+                    if not st.inflight:
+                        st.done = True
+                        capped.append(st)
+                    break
+                # ray compaction is a shape change — stall issuing until
+                # the pipeline drains, then compact and refill
+                target = min((b for b in ladder
+                              if b >= st.n_alive_est), default=st.m)
+                if target < st.m:
+                    if st.inflight:
+                        break
+                    (st.alive, st.t, st.o_cf, st.d_cf, st.frw,
+                     st.orig, st.n_emit, st.shadow) = _compact_rays(
+                        st.alive, st.t, st.o_cf, st.d_cf, st.frw,
+                        st.orig, st.n_emit, st.shadow, target)
+                    st.m = target
+                _issue(st)
+        readers = [st for st in states if st.inflight]
+        if not readers:
+            break
+
+        # the ONE host sync of the wave: every chunk's OLDEST round
         allc = _concat_counts(
-            tuple(st.pending[-1] for st in active)
-            + (counts_pad,) * (len(states) - len(active)))
+            tuple(st.inflight[0][3][-1] for st in readers)
+            + (counts_pad,) * (len(states) - len(readers)))
         t_read = _time.perf_counter()
-        vals = _np.asarray(allc).reshape(-1, 3)[:len(active)]
+        vals = _np.asarray(allc).reshape(-1, 3)[:len(readers)]
         t_done = _time.perf_counter()
 
-        still = []
-        for i, st in enumerate(active):
+        for i, st in enumerate(readers):
+            ridx, bucket, inputs, out = st.inflight.pop(0)
             (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
-             dts, rds, w2, d2, rgb2, alive2, _c) = st.pending
+             dts, rds, w2, d2, rgb2, alive2, _c) = out
             k, n_alive, ovf = (int(vals[i, 0]), int(vals[i, 1]),
                                int(vals[i, 2]))
             st.k_est = k
             if ovf:
                 # the merged program under-evaluated: replay eval +
-                # composite from its march outputs and the still-held
-                # pre-round accumulators (march is not redone)
+                # composite from its march outputs and the immutable
+                # pre-round inputs (march is not redone); any newer
+                # in-flight round consumed the bad state -> discard and
+                # re-issue from the corrected state (same round index,
+                # same jitter, identical results)
                 ns = s.probes_per_round * st.m
                 all_lanes = k >= ns // 2
                 if all_lanes:
@@ -965,20 +1006,22 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                         apply_fn, params, pos01, dir01, comp, size)
                 (st.w_sum, st.depth, st.rgb, st.alive,
                  _n_alive_dev) = _round_composite_deep(
-                    rgb_k, sigma_k, comp, valid, dts, rds, st.t,
-                    st.alive, st.orig, n_emit_new, st.w_sum, st.depth,
-                    st.rgb, st.frw, t_new, s, all_lanes=all_lanes)
+                    rgb_k, sigma_k, comp, valid, dts, rds, inputs[0],
+                    inputs[1], st.orig, n_emit_new, inputs[4], inputs[5],
+                    inputs[6], st.frw, t_new, s, all_lanes=all_lanes)
+                st.inflight = []
+                st.issued = ridx + 1
                 # merged n_alive is a safe OVERestimate here (fewer
                 # composited samples => less termination); scheduling
-                # self-corrects on the next wave's counts
+                # self-corrects on the next retire
             else:
                 st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.n_alive_est = n_alive
             st.t = t_new
             st.n_emit = n_emit_new
             st.shadow = shadow_new
-            st.pending = None  # release the round's sample buffers
-            st.rounds += 1
+            st.rounds = ridx + 1
+            max_rounds_seen = max(max_rounds_seen, st.rounds)
             if stats is not None:
                 stats.setdefault("rounds", []).append(
                     dict(chunk=st.index, m=st.m, k=k, overflow=ovf,
@@ -986,22 +1029,18 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                          merged_s=t_read - t_wave,
                          read_s=t_done - t_read,
                          replay_s=_time.perf_counter() - t_done))
-            if st.n_alive_est > 0:
-                still.append(st)
-            else:
-                max_rounds_seen = max(max_rounds_seen, st.rounds)
-        active = still
-        wave += 1
-    if active:
+            if n_alive == 0 and not ovf:
+                # drained; any chained in-flight rounds are no-ops
+                st.done = True
+                st.inflight = []
+    if capped:
         import warnings
 
         warnings.warn(
-            f"host-loop wave cap hit ({max_host_rounds} waves) with "
-            f"{len(active)} chunk(s) still active — frame finalized with "
-            "live rays (should be unreachable; cap derives from the "
-            "worst-case trajectory length)", RuntimeWarning)
-    for st in active:
-        max_rounds_seen = max(max_rounds_seen, st.rounds)
+            f"host-loop round cap hit ({max_host_rounds}) on "
+            f"{len(capped)} chunk(s) — frame finalized with live rays "
+            "(should be unreachable; cap derives from the worst-case "
+            "trajectory length)", RuntimeWarning)
 
     out_rgb, out_depth, out_wsum = [], [], []
     for st in states:

@@ -41,7 +41,7 @@ def main(argv=None):
 
     enable_cache(os.path.join(REPO, ".xla_cache"))
 
-    from nerf_tpu.core.types import Camera, RenderSettings
+    from nerf_tpu.core.types import Camera
     from nerf_tpu.render.engine import NerfRender
     from nerf_tpu.utils.metrics import psnr
 
@@ -58,10 +58,13 @@ def main(argv=None):
     pose[:3, :3] = rot
     pose[:3, 3] = rot @ np.array([0.0, 0.0, radius], np.float32)
 
+    import bench as _bench  # repo-root module: shared settings so every
+    # consumer reuses the same compiled merged-round programs
+
     def render(use_fused, packed, convert=False):
         eng = NerfRender(
-            settings=RenderSettings(density_scale=args.density_scale,
-                                    host_loop=True),
+            settings=_bench.make_settings(
+                65536, density_scale=args.density_scale),
             use_fused=use_fused, packed_grid=packed)
         eng.reload_network_from_file(args.snapshot)
         eng.set_resolution((res, res))

@@ -34,8 +34,10 @@ sys.path.insert(0, REPO)
 _SPHERE_C = np.array([0.32, 0.05, 0.10], np.float32)
 _SPHERE_R = 0.30
 _SPHERE_COL = np.array([0.85, 0.25, 0.20], np.float32)
-_BOX_C = np.array([-0.32, -0.08, -0.15], np.float32)
-_BOX_H = 0.24
+# box spans the origin so the bench's center-ray validation (straight
+# through ngp (0,*,0)) hits geometry from any orbit angle
+_BOX_C = np.array([-0.20, -0.05, -0.10], np.float32)
+_BOX_H = 0.25
 _BOX_COL = np.array([0.20, 0.35, 0.85], np.float32)
 _LIGHT = np.array([0.4, 0.8, 0.45], np.float32)
 _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
