@@ -111,6 +111,14 @@ class LearnedUpsampler(BilinearUpsampler):
         keys = jax.random.split(key, len(sizes))
         params = {}
         for i, (shape, k) in enumerate(zip(sizes, keys)):
+            if i == len(sizes) - 1:
+                # zero-init the residual's last layer: the upsampler
+                # starts EXACTLY at the bilinear baseline, so training
+                # can only improve on it (without this the random
+                # residual starts ~300x off the baseline and spends the
+                # whole budget crawling back — measured r3)
+                params[f"w{i}"] = jnp.zeros(shape)
+                continue
             fan_in = shape[0] * shape[1] * shape[2]
             params[f"w{i}"] = jax.random.normal(k, shape) \
                 * jnp.sqrt(2.0 / fan_in)

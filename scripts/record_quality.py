@@ -83,6 +83,24 @@ def main(argv=None):
           f"{record['psnr_flagship_vs_oracle']:.2f} dB",
           file=sys.stderr, flush=True)
 
+    # analytic ground truth for the same view (the scene the snapshot was
+    # trained on) — full-frame scene quality through the REAL marcher
+    import jax.numpy as jnp
+
+    from nerf_tpu.render.rays import generate_rays, nerf_matrix_to_ngp
+    from scripts.train_sharp_scene import trace_scene
+
+    ngp = nerf_matrix_to_ngp(pose, 0.33)
+    ro, rd = generate_rays(cam, jnp.asarray(ngp[:3, :3]),
+                           jnp.asarray(ngp[:3, 3]), res, res)
+    gt = trace_scene(np.asarray(ro), np.asarray(rd))
+    record["psnr_flagship_vs_gt"] = float(psnr(flagship, gt))
+    record["psnr_oracle_vs_gt"] = float(psnr(oracle, gt))
+    print(f"[quality] flagship vs analytic GT: "
+          f"{record['psnr_flagship_vs_gt']:.2f} dB (oracle "
+          f"{record['psnr_oracle_vs_gt']:.2f} dB)",
+          file=sys.stderr, flush=True)
+
     if args.convert:
         converted, stats = render(use_fused=True, packed=True, convert=True)
         record["psnr_converted_vs_oracle"] = float(psnr(converted, oracle))
