@@ -1277,44 +1277,77 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     if has_sf:
         skip_field = jax.device_put(skip_field, sh_0)
 
-    active = list(states)
+    # ---- pipelined lockstep waves (see render_rays_hostloop) ------------
+    depth_pipe = 2
     max_rounds_seen = 0
-    wave = 0
     counts_pad = jnp.zeros((3 * d_cnt,), jnp.int32)
-    while active and wave < max_host_rounds:
-        for st in active:
-            target = min((b for b in ladder if b >= st.max_alive),
-                         default=st.m)
-            if target < st.m:
-                (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                 st.n_emit, st.shadow) = rounds.compact(target)(
-                    st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                    st.n_emit, st.shadow)
-                st.m = target
-            bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
-                                    s.bucket_set)
-            st.pending = rounds.merged(bucket, has_sf)(
-                params, density_grid, skip_field, st.o_cf, st.d_cf,
-                st.frw, st.t, st.alive, st.n_emit, st.shadow, st.orig,
-                st.w_sum, st.depth, st.rgb, jnp.int32(st.rounds),
-                st.seed_c)
+    capped = []
+    for st in states:
+        st.inflight = []
+        st.issued = 0
+        st.done = False
+
+    def _issue(st):
+        if st.inflight:
+            o = st.inflight[-1][3]
+            t, n_emit, shadow = o[0], o[1], o[2]
+            w, dep, rgb, alive = o[9], o[10], o[11], o[12]
+        else:
+            t, n_emit, shadow = st.t, st.n_emit, st.shadow
+            w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
+        bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+                                s.bucket_set)
+        inputs = (t, alive, n_emit, shadow, w, dep, rgb)
+        out = rounds.merged(bucket, has_sf)(
+            params, density_grid, skip_field, st.o_cf, st.d_cf, st.frw,
+            t, alive, n_emit, shadow, st.orig, w, dep, rgb,
+            jnp.int32(st.issued), st.seed_c)
+        st.inflight.append((st.issued, bucket, inputs, out))
+        st.issued += 1
+
+    while True:
+        for st in states:
+            if st.done:
+                continue
+            while len(st.inflight) < depth_pipe:
+                if st.issued >= max_host_rounds:
+                    if not st.inflight:
+                        st.done = True
+                        capped.append(st)
+                    break
+                target = min((b for b in ladder if b >= st.max_alive),
+                             default=st.m)
+                if target < st.m:
+                    if st.inflight:
+                        break  # drain before the shape change
+                    (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
+                     st.n_emit, st.shadow) = rounds.compact(target)(
+                        st.alive, st.t, st.o_cf, st.d_cf, st.frw,
+                        st.orig, st.n_emit, st.shadow)
+                    st.m = target
+                _issue(st)
+        readers = [st for st in states if st.inflight]
+        if not readers:
+            break
 
         allc = _concat_counts(
-            tuple(st.pending[-1] for st in active)
-            + (counts_pad,) * (len(states) - len(active)))
-        vals = _np.asarray(allc)[:3 * d_cnt * len(active)].reshape(
-            len(active), d_cnt, 3)  # the ONE host sync of the wave
+            tuple(st.inflight[0][3][-1] for st in readers)
+            + (counts_pad,) * (len(states) - len(readers)))
+        vals = _np.asarray(allc)[:3 * d_cnt * len(readers)].reshape(
+            len(readers), d_cnt, 3)  # the ONE host sync of the wave
 
-        still = []
-        for i, st in enumerate(active):
+        for i, st in enumerate(readers):
+            ridx, bucket, inputs, out = st.inflight.pop(0)
             (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
-             dts, rds, w2, d2, rgb2, alive2, _c) = st.pending
+             dts, rds, w2, d2, rgb2, alive2, _c) = out
             k_max = int(vals[i, :, 0].max())
             alive_vec = vals[i, :, 1]
             ovf = int(vals[i, :, 2].max())
             st.k_est = k_max
             if ovf:
-                # SPMD replay: uniform static bucket from the max count
+                # SPMD replay: uniform static bucket from the max count;
+                # dependent in-flight rounds consumed the bad state ->
+                # discard and re-issue (same indices, same jitter)
                 ns_local = s.probes_per_round * st.m
                 all_lanes = k_max >= ns_local // 2
                 if all_lanes:
@@ -1327,11 +1360,11 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
                     params, pos01, dir01, comp)
                 (st.w_sum, st.depth, st.rgb, st.alive,
                  _n_alive) = rounds.composite(all_lanes)(
-                    rgb_k, sigma_k, comp, valid, dts, rds, st.t,
-                    st.alive, st.orig, n_emit_new, st.w_sum, st.depth,
-                    st.rgb, st.frw, t_new)
-                # alive counts from the merged program are a safe
-                # overestimate on overflow; next wave self-corrects
+                    rgb_k, sigma_k, comp, valid, dts, rds, inputs[0],
+                    inputs[1], st.orig, n_emit_new, inputs[4], inputs[5],
+                    inputs[6], st.frw, t_new)
+                st.inflight = []
+                st.issued = ridx + 1
             else:
                 st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.max_alive = int(alive_vec.max())
@@ -1339,28 +1372,23 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
             st.t = t_new
             st.n_emit = n_emit_new
             st.shadow = shadow_new
-            st.pending = None
-            st.rounds += 1
+            st.rounds = ridx + 1
+            max_rounds_seen = max(max_rounds_seen, st.rounds)
             if stats is not None:
                 stats.setdefault("rounds", []).append(
                     dict(chunk=st.index, m=st.m, k=k_max, overflow=ovf,
                          max_alive=st.max_alive,
                          total_alive=st.total_alive))
-            if st.total_alive > 0:
-                still.append(st)
-            else:
-                max_rounds_seen = max(max_rounds_seen, st.rounds)
-        active = still
-        wave += 1
-    if active:
+            if st.total_alive == 0 and not ovf:
+                st.done = True
+                st.inflight = []
+    if capped:
         import warnings
 
         warnings.warn(
-            f"sharded host-loop wave cap hit ({max_host_rounds} waves) "
-            f"with {len(active)} chunk(s) still active — frame finalized "
-            "with live rays", RuntimeWarning)
-    for st in active:
-        max_rounds_seen = max(max_rounds_seen, st.rounds)
+            f"sharded host-loop round cap hit ({max_host_rounds}) on "
+            f"{len(capped)} chunk(s) — frame finalized with live rays",
+            RuntimeWarning)
 
     out_rgb, out_depth, out_wsum = [], [], []
     for st in states:
