@@ -91,6 +91,7 @@ def make_settings(chunk: int, density_scale: float = 25.0):
                           ray_chunk=chunk,
                           bucket_set=(32768, 131072, 524288),
                           ray_bucket_set=(chunk, 16384),
+                          cap_emit=8,
                           host_loop=True)
 
 

@@ -95,6 +95,13 @@ class RenderSettings:
     # gather-free trajectory extension steps per round (lattice-exact
     # empty-space skipping, see march.py pass 4); 0 disables
     extend_steps: int = 32
+    # deep-march per-round emission cap (the analog of the reference's
+    # num_step<=8 march budget, nerf_render.cu:300): rays freeze at their
+    # cap_emit-th occupied probe so samples past the compositor's
+    # T<1e-4 cut are never evaluated — on sharp scenes an uncapped
+    # 32-probe round evaluates ~6x more samples than contribute.
+    # 0 disables (emit up to probes_per_round).
+    cap_emit: int = 0
     aabb: Tuple[float, float, float, float, float, float] = (
         -1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
     )

@@ -456,21 +456,43 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         occ_all = density_grid[idx_all] > density_thresh
 
     # ---- pass 3: emission with skip-shadow semantics (unrolled) -------
+    # cap_emit > 0 freezes a ray at its cap_emit-th occupied probe of the
+    # round (same semantics as the device path's emit>=S freeze and the
+    # reference's num_step budget, nerf_render.cu:300): the frozen probe
+    # is re-probed and emitted next round, so the emission stream is
+    # unchanged — only the round partitioning (and thus how many
+    # past-termination samples reach the evaluator) differs.
+    cap = int(s.cap_emit) if s.cap_emit else P
     valid_l, rds_l = [], []
     last_t = t
+    emit_rnd = jnp.zeros_like(n_emit)
+    frozen = jnp.zeros_like(alive)
+    t_freeze = t
     for k in range(P):
         tk, dt_k, tt = ts[k], dts_l[k], tt_l[k]
         unshadowed = tk >= shadow
-        can = alive & (tk < far) & (n_emit < max_steps) & unshadowed
+        can = (alive & (tk < far) & (n_emit < max_steps) & unshadowed
+               & ~frozen)
         occ = occ_all[k]
-        emit_k = can & occ
+        if cap < P:
+            cap_hit = emit_rnd >= cap
+            emit_k = can & occ & ~cap_hit
+            freeze_k = can & occ & cap_hit
+            frozen = frozen | freeze_k
+            t_freeze = jnp.where(freeze_k, tk, t_freeze)
+        else:
+            emit_k = can & occ
         start_skip = can & ~occ
         shadow = jnp.where(start_skip, tt, shadow)
         t_emit = tk + dt_k
         rds_l.append(t_emit - last_t)
         last_t = jnp.where(emit_k, t_emit, last_t)
         n_emit = n_emit + emit_k.astype(jnp.int32)
+        if cap < P:
+            emit_rnd = emit_rnd + emit_k.astype(jnp.int32)
         valid_l.append(emit_k)
+    if cap < P:
+        t_new = jnp.where(frozen, t_freeze, t_new)
 
     xs = jnp.stack(xs_l, axis=1)      # [3, P, m]
     dts = jnp.stack(dts_l, axis=0)    # [P, m]
@@ -490,7 +512,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         cell_last = jnp.clip(0.5 * (x_last / bound + 1.0) * h,
                              0.0, float(h - 1)).astype(jnp.int32)
         radius = df_all[last] - 1                       # [m] cells
-        adopted = alive & (df_all[last] >= 2)
+        adopted = alive & (df_all[last] >= 2) & ~frozen
         sh = shadow
         tk2 = tk  # == the fold value after P steps (t_new for alive rays)
         for _ in range(s.extend_steps):

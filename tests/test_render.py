@@ -469,6 +469,49 @@ def test_skip_field_extension_preserves_emissions():
                                np.asarray(base.depth), rtol=1e-5, atol=1e-6)
 
 
+def test_cap_emit_matches_device_loop():
+    """The per-round emission cap (cap_emit, the reference's num_step<=8
+    analog) repartitions rounds without changing the emission stream —
+    the frame must match the uncapped device loop."""
+    import dataclasses
+
+    from nerf_tpu.core.types import DENSITY_THRESH
+    from nerf_tpu.render.density_grid import build_skip_field
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.0, 0.1, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    dev = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
+                      settings)
+    thresh = min(DENSITY_THRESH, settings.mean_density)
+    sf = build_skip_field(grid, jnp.float32(thresh), settings.grid_h,
+                          settings.cascade, 32)
+    stats = {}
+    host = render_rays_hostloop(
+        apply_cf, params, grid, rays_o, rays_d, nears, fars,
+        dataclasses.replace(settings, ray_chunk=100, cap_emit=4),
+        stats=stats, skip_field=sf)
+    # the cap engages (more rounds than probes-per-round alone implies)
+    assert max(r["k"] for r in stats["rounds"]) > 0
+    np.testing.assert_allclose(np.asarray(host.rgb), np.asarray(dev.rgb),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(host.weight_sum),
+                               np.asarray(dev.weight_sum), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(host.depth),
+                               np.asarray(dev.depth), rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_hostloop_matches_single_device():
     """The shard_mapped host-loop renderer (per-device ray blocks, local
     compaction, max-count bucket decisions) must reproduce the
