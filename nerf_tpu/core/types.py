@@ -92,6 +92,12 @@ class RenderSettings:
     # bounds the stored distance (jump <= skip_cap-1 cells per round).
     use_skip_field: bool = True
     skip_cap: int = 32
+    # skip-field gather row width (cells packed along z per gather row).
+    # XLA gathers are descriptor-bound and width-2/4 rows run ~1.56x the
+    # width-1 descriptor rate on v5e (195/196M vs 125M rows/s,
+    # bench_gather.py) — the march's occupancy gather fetches a w-cell
+    # row and lane-selects its cell. 1 = unpacked.
+    skip_row_w: int = 1
     # gather-free trajectory extension steps per round (lattice-exact
     # empty-space skipping, see march.py pass 4); 0 disables
     extend_steps: int = 32

@@ -119,6 +119,22 @@ def build_skip_field(density_grid, density_thresh, grid_h: int,
     return d.reshape(-1)
 
 
+def pack_skip_field(field: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Pack a flat skip field [cascade*H^3] into [cascade*H^3/w, w] gather
+    rows of w consecutive-z cells. Width-2/4 row gathers run ~1.56x the
+    width-1 descriptor rate on v5e (bench_gather.py; see
+    RenderSettings.skip_row_w) — the marcher gathers row idx>>log2(w) and
+    lane-selects cell idx&(w-1). Values are unchanged; H^3 is divisible
+    by any supported w (H is a power of two >= 8)."""
+    if w == 1:
+        return field
+    if w not in (2, 4):
+        raise ValueError(f"skip_row_w must be 1, 2 or 4: {w}")
+    if field.shape[0] % w:
+        raise ValueError("field length not divisible by row width")
+    return field.reshape(-1, w)
+
+
 def mean_density(density_grid: jnp.ndarray) -> jnp.ndarray:
     """Mean over non-negative cells (snapshot `mean_density` analog)."""
     valid = density_grid >= 0

@@ -97,6 +97,9 @@ class NerfRender:
                                   self.settings.grid_h,
                                   self.settings.cascade,
                                   self.settings.skip_cap)
+            if self.settings.skip_row_w > 1:
+                from nerf_tpu.render.density_grid import pack_skip_field
+                sf = pack_skip_field(sf, self.settings.skip_row_w)
             if self.mesh is not None:
                 from nerf_tpu.parallel.mesh import replicate
                 sf = replicate(sf, self.mesh)

@@ -450,7 +450,23 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     # ---- pass 2: ONE batched occupancy gather -------------------------
     idx_all = jnp.stack(idx_l, axis=0)          # [P, m]
     if skip_field is not None:
-        df_all = skip_field[idx_all]            # int32 chebyshev distances
+        if skip_field.ndim == 2:
+            # packed rows (pack_skip_field): gather a w-cell row per
+            # probe — one descriptor either way, but width-2/4 rows run
+            # ~1.56x the width-1 descriptor rate (bench_gather.py) — and
+            # lane-select the probe's cell with vectorized wheres.
+            w = skip_field.shape[1]
+            g = skip_field[idx_all // w]        # [P, m, w]
+            lane = idx_all % w
+            if w == 4:
+                b1 = (lane >= 2)[..., None]
+                pair = jnp.where(b1, g[..., 2:4], g[..., 0:2])
+                df_all = jnp.where((lane & 1) == 1, pair[..., 1],
+                                   pair[..., 0])
+            else:  # w == 2
+                df_all = jnp.where((lane & 1) == 1, g[..., 1], g[..., 0])
+        else:
+            df_all = skip_field[idx_all]        # int32 chebyshev distances
         occ_all = df_all == 0
     else:
         occ_all = density_grid[idx_all] > density_thresh

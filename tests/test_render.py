@@ -469,6 +469,47 @@ def test_skip_field_extension_preserves_emissions():
                                np.asarray(base.depth), rtol=1e-5, atol=1e-6)
 
 
+def test_packed_skip_rows_bit_identical():
+    """Width-packed skip-field rows (pack_skip_field + skip_row_w) change
+    only HOW the march fetches the field (w-cell row gather + lane
+    select), not any value — frames must be BIT-identical to the
+    unpacked field."""
+    import dataclasses
+
+    from nerf_tpu.core.types import DENSITY_THRESH
+    from nerf_tpu.render.density_grid import build_skip_field, \
+        pack_skip_field
+    from nerf_tpu.render.march import render_rays_hostloop
+
+    net, params, grid, settings = _setup()
+    rot = np.eye(3, dtype=np.float32)
+    origin = np.array([0.1, 0.2, -2.0], np.float32)
+    cam = Camera(fl_x=16.0, fl_y=16.0, cx=8.0, cy=8.0)
+    rays_o, rays_d = generate_rays(cam, rot, origin, 16, 16)
+    nears, fars = near_far_from_aabb(rays_o, rays_d,
+                                     jnp.asarray(settings.aabb, jnp.float32),
+                                     settings.min_near)
+
+    def apply_cf(p, pos_cf, dir_cf):
+        return net.apply_cf(p, pos_cf, dir_cf)
+
+    thresh = min(DENSITY_THRESH, settings.mean_density)
+    sf = build_skip_field(grid, jnp.float32(thresh), settings.grid_h,
+                          settings.cascade, 32)
+    s1 = dataclasses.replace(settings, ray_chunk=100)
+    base = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                nears, fars, s1, skip_field=sf)
+    for w in (2, 4):
+        packed = render_rays_hostloop(
+            apply_cf, params, grid, rays_o, rays_d, nears, fars,
+            dataclasses.replace(s1, skip_row_w=w),
+            skip_field=pack_skip_field(sf, w))
+        np.testing.assert_array_equal(np.asarray(packed.rgb),
+                                      np.asarray(base.rgb))
+        np.testing.assert_array_equal(np.asarray(packed.depth),
+                                      np.asarray(base.depth))
+
+
 def test_cap_emit_matches_device_loop():
     """The per-round emission cap (cap_emit, the reference's num_step<=8
     analog) repartitions rounds without changing the emission stream —
