@@ -1061,11 +1061,14 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             st.rounds = ridx + 1
             max_rounds_seen = max(max_rounds_seen, st.rounds)
             if stats is not None:
+                # the wave's one read barriers on ALL readers' oldest
+                # rounds — attribute its time (and the dispatch span)
+                # pro-rata so per-frame sums are not inflated len(readers)x
                 stats.setdefault("rounds", []).append(
                     dict(chunk=st.index, m=st.m, k=k, overflow=ovf,
                          n_alive_est=st.n_alive_est,
-                         merged_s=t_read - t_wave,
-                         read_s=t_done - t_read,
+                         merged_s=(t_read - t_wave) / len(readers),
+                         read_s=(t_done - t_read) / len(readers),
                          replay_s=_time.perf_counter() - t_done))
             if n_alive == 0 and not ovf:
                 # drained; any chained in-flight rounds are no-ops

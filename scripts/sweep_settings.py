@@ -25,12 +25,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BUILTIN = [
-    ("base", {}),
-    ("w4", {"skip_row_w": 4}),
-    ("w4-p16", {"skip_row_w": 4, "probes_per_round": 16,
-                "extend_steps": 48}),
-    ("w4-ladder", {"skip_row_w": 4,
-                   "ray_bucket_set": (65536, 32768, 16384, 8192)}),
+    # sweep 1 (2026-08-17): base 0.122, w4 0.127, w4-p16 0.101 (94 rounds),
+    # w4-ladder 0.131 Mray/s @800x800 — the frame is ~62 chunk-rounds x
+    # ~80ms; fixed per-round cost dominates, so sweep 2 trades round
+    # count for fatter rounds (bigger ray chunks, more probes).
+    # c256 (chunk 262144, 1M-lane eval buckets) OOM'd the v5e: the merged
+    # program's replay outputs (pos01/dir01 at [3, P*m]) double-buffer
+    # across the depth-2 pipeline — keep P*m <= ~4M lanes.
+    ("p64", {"skip_row_w": 4, "probes_per_round": 64, "extend_steps": 64,
+             "ray_bucket_set": (65536, 32768, 16384, 8192)}),
+    ("c128", {"skip_row_w": 4, "ray_chunk": 131072,
+              "ray_bucket_set": (131072, 32768, 8192),
+              "bucket_set": (32768, 131072, 524288)}),
 ]
 
 
@@ -83,18 +89,23 @@ def main():
         s = dataclasses.replace(make_settings(65536, density_scale=1.0),
                                 **{k: (tuple(v) if isinstance(v, list)
                                        else v) for k, v in ov.items()})
-        eng = NerfRender(settings=s)
-        eng.reload_network_from_file(args.snapshot)
-        eng.set_resolution((w, h))
-        eng.collect_stats = True
-        times = []
-        for i in range(args.frames):
-            t0 = time.perf_counter()
-            rgb, depth, wsum = eng.render_frame_arrays(cam, pose)
-            tot = float(np.asarray(wsum.sum()))  # forced read = real sync
-            times.append(time.perf_counter() - t0)
-            if i == 0 and not np.isfinite(tot):
-                print(f"[sweep] {name}: NON-FINITE frame", flush=True)
+        try:
+            eng = NerfRender(settings=s)
+            eng.reload_network_from_file(args.snapshot)
+            eng.set_resolution((w, h))
+            eng.collect_stats = True
+            times = []
+            for i in range(args.frames):
+                t0 = time.perf_counter()
+                rgb, depth, wsum = eng.render_frame_arrays(cam, pose)
+                tot = float(np.asarray(wsum.sum()))  # forced read = sync
+                times.append(time.perf_counter() - t0)
+                if i == 0 and not np.isfinite(tot):
+                    print(f"[sweep] {name}: NON-FINITE frame", flush=True)
+        except Exception as e:  # a variant must not kill the sweep (OOM)
+            print(f"[sweep] {name}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
         rays = w * h / float(np.median(times))
         st = (eng.last_stats or {}).get("rounds", [])
         merged = sum(r.get("merged_s", 0.0) for r in st)
