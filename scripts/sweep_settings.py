@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--variant", action="append", nargs=2,
                     metavar=("NAME", "OVERRIDES"), default=None,
                     help="e.g. --variant w4 'skip_row_w=4,cap_emit=0'")
+    ap.add_argument("--dump-rounds", action="store_true",
+                    help="print the last (warm) frame's per-round stats")
     args = ap.parse_args()
 
     from bench import make_settings
@@ -113,6 +115,15 @@ def main():
         lane = sum(r["m"] for r in st)
         alive = sum(r.get("n_alive_est", r["m"]) for r in st)
         results[name] = rays
+        if args.dump_rounds:
+            for r in st:
+                print(f"[rounds] chunk={r['chunk']} m={r['m']} k={r['k']} "
+                      f"alive={r.get('n_alive_est', '?')} "
+                      f"ovf={r['overflow']} "
+                      f"merged={r.get('merged_s', 0) * 1e3:.1f}ms "
+                      f"read={r.get('read_s', 0) * 1e3:.1f}ms "
+                      f"replay={r.get('replay_s', 0) * 1e3:.1f}ms",
+                      flush=True)
         print(f"[sweep] {name}: {rays / 1e6:.3f} Mray/s "
               f"(median {np.median(times):.2f}s over {args.frames}; "
               f"rounds {len(st)}, dispatch {merged:.2f}s, reads {read:.2f}s, "
