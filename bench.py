@@ -279,13 +279,12 @@ def main():
         if st:
             merged = sum(r.get("merged_s", 0.0) for r in st)
             read = sum(r.get("read_s", 0.0) for r in st)
-            replay = sum(r.get("replay_s", 0.0) for r in st)
-            n_ovf = sum(r.get("overflow", 0) for r in st)
+            n_frz = sum(r.get("frozen", 0) for r in st)
             lane_rounds = sum(r["m"] for r in st)
             alive_rounds = sum(r.get("n_alive_est", r["m"]) for r in st)
             print(f"[bench]   phase split (last frame): {len(st)} rounds, "
                   f"merged-dispatch {merged:.3f}s, reads {read:.3f}s, "
-                  f"replay {replay:.3f}s ({n_ovf} overflows), "
+                  f"frozen-ray rounds {n_frz}, "
                   f"samples {sum(r['k'] for r in st)}, "
                   f"lane-occupancy {alive_rounds}/{lane_rounds} "
                   f"({alive_rounds / max(lane_rounds, 1):.2f})",

@@ -68,12 +68,23 @@ def _max_host_rounds(s: RenderSettings) -> int:
     trajectory length: the deep march advances every live ray by exactly
     probes_per_round steps of >= MIN_STEPSIZE per round, and a trajectory
     is at most the aabb diagonal long (ADVICE r2: the old emission-budget
-    cap could finalize frames with rays still alive for bound>2 scenes)."""
+    cap could finalize frames with rays still alive for bound>2 scenes).
+    Freeze rounds (cap_emit / bucket exhaustion) don't advance frozen
+    rays, but every such round consumes emission budget — per-ray
+    (cap_emit) or per-chunk (>= bucket samples emitted whenever any ray
+    bucket-freezes) — so both freeze mechanisms add at most an
+    emission-budget term to the cap."""
     import math
 
     span = math.dist(s.aabb[:3], s.aabb[3:])
-    return int(math.ceil(
-        span / MIN_STEPSIZE / max(1, s.probes_per_round))) + 8
+    traj = int(math.ceil(
+        span / MIN_STEPSIZE / max(1, s.probes_per_round)))
+    cap = int(s.cap_emit) if s.cap_emit else s.probes_per_round
+    emit = -(-s.max_infer_steps // max(1, cap))
+    if s.bucket_set:
+        emit = max(emit, -(-s.ray_chunk * s.max_infer_steps
+                           // max(1, min(s.bucket_set))))
+    return traj + emit + 8
 
 
 def _skip_trip_bound(s: RenderSettings) -> int:
@@ -340,7 +351,7 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 
 def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
                       s: RenderSettings, n_emit, shadow, round_idx=None,
-                      perturb_seed=None, skip_field=None):
+                      perturb_seed=None, skip_field=None, bucket=None):
     """Vectorized march: P trajectory steps per ray per round.
 
     The key structural fact (verified against kernel_march_rays,
@@ -393,8 +404,11 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     ball lives in one mip's grid, and a skipped lattice point under
     multiple cascades could have been tested against a different mip.
 
+    bucket (optional int): static per-chunk emission budget for the round
+    — see pass 3. None = unlimited (the all-lanes eval never overflows).
+
     Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
-    n_emit_new [m], shadow_new [m]).
+    n_emit_new [m], shadow_new [m], frozen [m] bool).
     """
     m = t.shape[0]
     P = s.probes_per_round
@@ -472,13 +486,25 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         occ_all = density_grid[idx_all] > density_thresh
 
     # ---- pass 3: emission with skip-shadow semantics (unrolled) -------
-    # cap_emit > 0 freezes a ray at its cap_emit-th occupied probe of the
-    # round (same semantics as the device path's emit>=S freeze and the
-    # reference's num_step budget, nerf_render.cu:300): the frozen probe
-    # is re-probed and emitted next round, so the emission stream is
-    # unchanged — only the round partitioning (and thus how many
-    # past-termination samples reach the evaluator) differs.
+    # Two FREEZE mechanisms share one machinery (a frozen ray stops at an
+    # occupied probe and re-emits it next round, so the whole-frame
+    # emission stream is unchanged — only the round partitioning, i.e.
+    # composite reassociation, differs):
+    #   cap_emit > 0: per-ray budget — freeze at the cap_emit-th occupied
+    #     probe of the round (the device path's emit>=S freeze and the
+    #     reference's num_step budget, nerf_render.cu:300).
+    #   bucket (int): per-CHUNK budget — freeze once the round's global
+    #     emission rank (compaction order: probe-major, then ray) reaches
+    #     the merged program's static eval bucket. Overflow of the fused
+    #     eval is thereby IMPOSSIBLE: n_valid <= bucket by construction,
+    #     so the merged round never needs a replay path and tight buckets
+    #     are safe. Rank = emitted-so-far (scalar base) + within-probe
+    #     cumsum, which matches the compaction cumsum's flat [P, m] order
+    #     exactly.
     cap = int(s.cap_emit) if s.cap_emit else P
+    freezing = cap < P or bucket is not None
+    limit = None if bucket is None else jnp.int32(bucket)
+    base = jnp.int32(0)
     valid_l, rds_l = [], []
     last_t = t
     emit_rnd = jnp.zeros_like(n_emit)
@@ -494,10 +520,18 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             cap_hit = emit_rnd >= cap
             emit_k = can & occ & ~cap_hit
             freeze_k = can & occ & cap_hit
-            frozen = frozen | freeze_k
-            t_freeze = jnp.where(freeze_k, tk, t_freeze)
         else:
             emit_k = can & occ
+            freeze_k = None
+        if limit is not None:
+            c = jnp.cumsum(emit_k.astype(jnp.int32))
+            over = emit_k & (base + c - 1 >= limit)
+            emit_k = emit_k & ~over
+            freeze_k = over if freeze_k is None else freeze_k | over
+            base = jnp.minimum(base + c[-1], limit)
+        if freezing:
+            frozen = frozen | freeze_k
+            t_freeze = jnp.where(freeze_k, tk, t_freeze)
         start_skip = can & ~occ
         shadow = jnp.where(start_skip, tt, shadow)
         t_emit = tk + dt_k
@@ -507,7 +541,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         if cap < P:
             emit_rnd = emit_rnd + emit_k.astype(jnp.int32)
         valid_l.append(emit_k)
-    if cap < P:
+    if freezing:
         t_new = jnp.where(frozen, t_freeze, t_new)
 
     xs = jnp.stack(xs_l, axis=1)      # [3, P, m]
@@ -549,24 +583,25 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             t_new = jnp.where(adopted, tk2, t_new)
         shadow = sh
 
-    return t_new, xs, dts, rds, valid, n_emit, shadow
+    return t_new, xs, dts, rds, valid, n_emit, shadow, frozen
 
 
 def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
                         fars, t, alive, n_emit, shadow, round_idx,
-                        perturb_seed, s: RenderSettings):
+                        perturb_seed, s: RenderSettings, bucket=None):
     """Deep march + sample compaction (probe-major). Returns (t_new,
     valid [P,m], pos01 [3,P*m], dir01 [3,P*m], comp [P*m] compaction
-    indices, n_valid, dts, rds, n_emit_new, shadow_new)."""
+    indices, n_valid, dts, rds, n_emit_new, shadow_new, n_frozen)."""
     m = t.shape[0]
     P = s.probes_per_round
     ns = P * m
     bound = jnp.float32(s.bound)
 
-    t_new, xs, dts, rds, valid, n_emit_new, shadow_new = _march_round_deep(
+    (t_new, xs, dts, rds, valid, n_emit_new, shadow_new,
+     frozen) = _march_round_deep(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
         shadow, round_idx=round_idx, perturb_seed=perturb_seed,
-        skip_field=skip_field)
+        skip_field=skip_field, bucket=bucket)
 
     # channel-first sample arrays [3, ns] — batch minor-most so HBM
     # tiles perfectly. (A sample-major [ns, 8] row layout measured ~30ms
@@ -585,8 +620,9 @@ def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
     # composite's row-scatter drops it (mode="drop")
     comp = jnp.full((ns,), ns, jnp.int32).at[
         jnp.where(vflat, dest, ns)].set(src, mode="drop")
+    n_frozen = jnp.sum(frozen.astype(jnp.int32))
     return (t_new, valid, pos01, dir01, comp, n_valid, dts, rds,
-            n_emit_new, shadow_new)
+            n_emit_new, shadow_new, n_frozen)
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
@@ -643,20 +679,6 @@ def _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
             jnp.sum(alive_new.astype(jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "all_lanes"))
-def _round_composite_deep(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
-                          orig, n_emit, w_sum_full, depth_full, rgb_full,
-                          fars, t_new, settings: RenderSettings,
-                          all_lanes: bool = False):
-    """Standalone composite program — the overflow-REPLAY path of the
-    merged round (see _round_merged): re-composites from the merged
-    program's march outputs and the immutable pre-round accumulators."""
-    return _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds,
-                                   t, alive, orig, n_emit, w_sum_full,
-                                   depth_full, rgb_full, fars, t_new,
-                                   settings, all_lanes=all_lanes)
-
-
 # ---------------------------------------------------------------------------
 # Host-driven round loop.
 #
@@ -682,20 +704,6 @@ def _eval_gather_core(apply_fn: Callable, params, pos01, dir01, comp,
     return apply_fn(params, pos_c, dir_c)
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "size"))
-def _eval_bucket_gather(apply_fn: Callable, params, pos01, dir01, comp,
-                        size: int):
-    return _eval_gather_core(apply_fn, params, pos01, dir01, comp, size)
-
-
-@functools.partial(jax.jit, static_argnames=("apply_fn",))
-def _eval_all_lanes(apply_fn: Callable, params, pos01, dir01):
-    """Large-bucket eval: when the valid count is a sizable fraction of
-    P*m, skipping compaction entirely is cheaper than gathering — the
-    network runs on every lane and the composite masks by validity."""
-    return apply_fn(params, pos01, dir01)
-
-
 def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
                        rays_o_cf, rays_d_cf, fars, t, alive, n_emit, shadow,
                        orig, w_sum, depth, rgb, round_idx, perturb_seed,
@@ -710,27 +718,31 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
     phase boundaries. The price: the eval batch size must be chosen
     STATICALLY before the march's valid-sample count is known, so the
     host picks `bucket` optimistically from the previous round's count:
-      bucket=None -> evaluate ALL P*m lanes (never overflows),
+      bucket=None -> evaluate ALL P*m lanes (can never run short),
       bucket=0    -> skip eval entirely (empty-space round),
       bucket=k    -> evaluate the compacted k-prefix.
-    If the true count exceeds the bucket, counts[2] flags OVERFLOW: the
-    composited accumulators in the return value are invalid, and the
-    host replays eval+composite from the returned march intermediates
-    plus the (immutable) pre-round accumulators — the march itself is
-    never redone (_round_composite_deep / _eval_bucket_gather).
+    The bucket can NEVER overflow: the march freezes rays at the probe
+    where the round's emission rank reaches the bucket (see
+    _march_round_deep pass 3), and frozen rays resume at that exact
+    probe next round — the same round-partition reassociation class as
+    cap_emit. counts[2] reports how many rays froze so the host can
+    escalate the next round's bucket. With no replay path the program
+    returns ONLY the carried ray state + accumulators, which lets XLA
+    dead-code-eliminate the [P*m] compaction scatter in the bucket=0
+    and all-lanes variants (~17ms/round of descriptor-bound scatter at
+    ns=2.1M, BASELINE.md r3).
 
-    Returns (t_new, n_emit_new, shadow_new, valid [P,m], pos01, dir01,
-    comp, dts, rds, w_sum', depth', rgb', alive', counts[3]) with
-    counts = [n_valid, n_alive', overflow].
+    Returns (t_new, n_emit_new, shadow_new, w_sum', depth', rgb',
+    alive', counts[3]) with counts = [n_valid, n_alive', n_frozen].
     """
     s = settings
     m = t.shape[0]
     ns = s.probes_per_round * m
 
     (t_new, valid, pos01, dir01, comp, n_valid, dts, rds, n_emit_new,
-     shadow_new) = _march_compact_core(
+     shadow_new, n_frozen) = _march_compact_core(
         density_grid, skip_field, rays_o_cf, rays_d_cf, fars, t, alive,
-        n_emit, shadow, round_idx, perturb_seed, s)
+        n_emit, shadow, round_idx, perturb_seed, s, bucket=bucket)
 
     if bucket is None or bucket > 0:
         if bucket is None:
@@ -750,12 +762,8 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
                   & (n_emit_new < jnp.int32(s.max_infer_steps)))
         n_alive = jnp.sum(alive2.astype(jnp.int32))
 
-    cap = jnp.int32(0 if bucket is None else bucket)
-    overflow = (jnp.int32(0) if bucket is None
-                else (n_valid > cap).astype(jnp.int32))
-    counts = jnp.stack([n_valid, n_alive, overflow])
-    return (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
-            dts, rds, w2, d2, rgb2, alive2, counts)
+    counts = jnp.stack([n_valid, n_alive, n_frozen])
+    return (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2, counts)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "settings",
@@ -773,19 +781,32 @@ def _round_merged(apply_fn: Callable, params, density_grid, skip_field,
 def _choose_bucket(k_est: int, ns: int, allowed):
     """Static eval size for the next merged round from the PREVIOUS
     round's valid-sample count (stale by one round — the price of the
-    fused dispatch; overflow triggers a cheap replay). 2x headroom covers
-    count growth at surface-crossing rounds; k_est < 0 means the first
-    rounds (no information yet) and guesses ns/8 — generous, because the
-    depth-2 pipeline issues round 1 before round 0's count arrives and
-    an early overflow costs a pipeline restart."""
+    fused dispatch; excess demand freezes rays, never overflows). 2x
+    headroom covers count growth at surface-crossing rounds; k_est < 0
+    means the first rounds (no information yet) and guesses ns/8 —
+    generous, because the depth-2 pipeline issues round 1 before round
+    0's count arrives and an early freeze costs escalation rounds.
+
+    With an explicit ladder the all-lanes escape (None) is never taken:
+    freeze makes clamping to the largest bucket SAFE (excess demand
+    spills into later rounds), and an all-lanes eval at ns=2.1M measured
+    432ms vs 105ms for the 131072 bucket (scripts/profile_round.py) —
+    an escalation round is far cheaper than one all-lanes round."""
+    ladder = sorted(b for b in allowed if b < ns) if allowed else []
     if k_est < 0:
-        k_est = max(1, ns // 8)
+        # no information yet: the largest ladder bucket (not all-lanes)
+        return ladder[-1] if ladder else None
     if k_est == 0:
         return 0
     headroom = 2 * k_est
+    if ladder:
+        for sz in ladder:
+            if sz >= headroom:
+                return sz
+        return ladder[-1]
+    sizes = _bucket_sizes(ns, allowed)
     if headroom >= ns // 2:
         return None
-    sizes = _bucket_sizes(ns, allowed)
     for sz in sizes:
         if sz >= headroom:
             return None if sz >= ns // 2 else sz
@@ -872,10 +893,10 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
 
     Each chunk-round is ONE merged jitted program (_round_merged):
     march -> eval -> composite, with the eval batch chosen STATICALLY
-    from the previous round's valid-sample count and an overflow-replay
-    fallback (round 2 measured ~65% of the frame as per-phase dispatch
-    overhead; the merge is VERDICT r2's top item). The host's only syncs
-    are ONE concatenated count read per WAVE (the analog of the
+    from the previous round's valid-sample count; excess demand FREEZES
+    rays at the bucket boundary (never overflows — see _march_round_deep
+    pass 3) and the host escalates the next bucket. The host's only
+    syncs are ONE concatenated count read per WAVE (the analog of the
     reference's alive-counter readback, nerf_render.cu:288-292).
 
     Cross-round RAY compaction is unchanged: when the alive count fits a
@@ -947,9 +968,8 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
     # overlaps round r+1's device work — without it, the counts (which
     # depend on the merged program's composite) turn every wave read into
     # a full device barrier (measured: the entire 800x800 frame time).
-    # Overflow mid-pipeline invalidates the dependent in-flight round: it
-    # is DISCARDED and re-issued from the replayed (corrected) state with
-    # the same round index, so results are unchanged.
+    # Freeze semantics keep the pipeline pure: no round is ever invalid,
+    # so nothing is discarded or re-issued.
     import time as _time
 
     depth_pipe = 2
@@ -963,20 +983,19 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
 
     def _issue(st):
         if st.inflight:
-            o = st.inflight[-1][3]
+            o = st.inflight[-1][2]
             t, n_emit, shadow = o[0], o[1], o[2]
-            w, dep, rgb, alive = o[9], o[10], o[11], o[12]
+            w, dep, rgb, alive = o[3], o[4], o[5], o[6]
         else:
             t, n_emit, shadow = st.t, st.n_emit, st.shadow
             w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
         bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
                                 s.bucket_set)
-        inputs = (t, alive, n_emit, shadow, w, dep, rgb)
         out = _round_merged(
             apply_fn, params, density_grid, skip_field, st.o_cf, st.d_cf,
             st.frw, t, alive, n_emit, shadow, st.orig, w, dep, rgb,
             jnp.int32(st.issued), st.seed_c, s, bucket)
-        st.inflight.append((st.issued, bucket, inputs, out))
+        st.inflight.append((st.issued, bucket, out))
         st.issued += 1
 
     while True:
@@ -1011,49 +1030,27 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
 
         # the ONE host sync of the wave: every chunk's OLDEST round
         allc = _concat_counts(
-            tuple(st.inflight[0][3][-1] for st in readers)
+            tuple(st.inflight[0][2][-1] for st in readers)
             + (counts_pad,) * (len(states) - len(readers)))
         t_read = _time.perf_counter()
         vals = _np.asarray(allc).reshape(-1, 3)[:len(readers)]
         t_done = _time.perf_counter()
 
         for i, st in enumerate(readers):
-            ridx, bucket, inputs, out = st.inflight.pop(0)
-            (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
-             dts, rds, w2, d2, rgb2, alive2, _c) = out
-            k, n_alive, ovf = (int(vals[i, 0]), int(vals[i, 1]),
-                               int(vals[i, 2]))
-            st.k_est = k
-            if ovf:
-                # the merged program under-evaluated: replay eval +
-                # composite from its march outputs and the immutable
-                # pre-round inputs (march is not redone); any newer
-                # in-flight round consumed the bad state -> discard and
-                # re-issue from the corrected state (same round index,
-                # same jitter, identical results)
-                ns = s.probes_per_round * st.m
-                all_lanes = k >= ns // 2
-                if all_lanes:
-                    rgb_k, sigma_k = _eval_all_lanes(
-                        apply_fn, params, pos01, dir01)
-                else:
-                    sizes = _bucket_sizes(ns, s.bucket_set)
-                    size = next((sz for sz in sizes if sz >= k),
-                                sizes[-1])
-                    rgb_k, sigma_k = _eval_bucket_gather(
-                        apply_fn, params, pos01, dir01, comp, size)
-                (st.w_sum, st.depth, st.rgb, st.alive,
-                 _n_alive_dev) = _round_composite_deep(
-                    rgb_k, sigma_k, comp, valid, dts, rds, inputs[0],
-                    inputs[1], st.orig, n_emit_new, inputs[4], inputs[5],
-                    inputs[6], st.frw, t_new, s, all_lanes=all_lanes)
-                st.inflight = []
-                st.issued = ridx + 1
-                # merged n_alive is a safe OVERestimate here (fewer
-                # composited samples => less termination); scheduling
-                # self-corrects on the next retire
-            else:
-                st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
+            ridx, bucket, out = st.inflight.pop(0)
+            (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
+             _c) = out
+            k, n_alive, n_frozen = (int(vals[i, 0]), int(vals[i, 1]),
+                                    int(vals[i, 2]))
+            # frozen rays mean the round's demand exceeded the bucket:
+            # escalate so the next issue picks a strictly larger bucket
+            # (frozen rays resume at their frozen probe — no work lost).
+            # max() against the current estimate: with pipelining, a
+            # stale small-bucket round retires AFTER an escalation and
+            # must not downgrade it while freezing persists.
+            st.k_est = (k if n_frozen == 0
+                        else max(st.k_est, k, (bucket or 0) + 1))
+            st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.n_alive_est = n_alive
             st.t = t_new
             st.n_emit = n_emit_new
@@ -1065,12 +1062,11 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
                 # rounds — attribute its time (and the dispatch span)
                 # pro-rata so per-frame sums are not inflated len(readers)x
                 stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k, overflow=ovf,
+                    dict(chunk=st.index, m=st.m, k=k, frozen=n_frozen,
                          n_alive_est=st.n_alive_est,
                          merged_s=(t_read - t_wave) / len(readers),
-                         read_s=(t_done - t_read) / len(readers),
-                         replay_s=_time.perf_counter() - t_done))
-            if n_alive == 0 and not ovf:
+                         read_s=(t_done - t_read) / len(readers)))
+            if n_alive == 0:
                 # drained; any chained in-flight rounds are no-ops
                 st.done = True
                 st.inflight = []
@@ -1152,53 +1148,9 @@ class _ShardedRounds:
                  self._pr, self._pr, self._pr, self._pr, self._pr,
                  self._pr, self._pr, self._pr, self._pc, self._p0,
                  self._p0),
-                # t_new, n_emit, shadow, valid[P,m], pos01[3,ns],
-                # dir01[3,ns], comp[ns], dts, rds, w, depth, rgb, alive,
-                # counts[3]
-                (self._pr, self._pr, self._pr, self._pc, self._pc,
-                 self._pc, self._pr, self._pc, self._pc, self._pr,
-                 self._pr, self._pc, self._pr, self._pr))
-        return self._cache[key]
-
-    def eval_bucket(self, size):
-        """size is the per-shard bucket; size=None -> all-lanes eval."""
-        key = ("eval", size)
-        if key not in self._cache:
-            apply_fn = self.apply_fn
-
-            if size is None:
-                def core(p, pos01, dir01, comp):
-                    return apply_fn(p, pos01, dir01)
-            else:
-                def core(p, pos01, dir01, comp):
-                    return _eval_gather_core(apply_fn, p, pos01, dir01,
-                                             comp, size)
-
-            self._cache[key] = self._smap(
-                core, (self._p0, self._pc, self._pc, self._pr),
-                (self._pc, self._pr))
-        return self._cache[key]
-
-    def composite(self, all_lanes=False):
-        key = ("composite", all_lanes)
-        if key not in self._cache:
-            s = self.s
-
-            def core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
-                     orig, ne, w, dep, rgb, fr, tn):
-                out = _round_composite_deep(rgb_k, sigma_k, comp, valid,
-                                            dts, rds, t, alive, orig, ne,
-                                            w, dep, rgb, fr, tn, s,
-                                            all_lanes=all_lanes)
-                w2, d2, r2, alive2, n_alive = out
-                return w2, d2, r2, alive2, n_alive[None]
-
-            self._cache[key] = self._smap(
-                core,
-                (self._pc, self._pr, self._pr, self._pc, self._pc,
-                 self._pc, self._pr, self._pr, self._pr, self._pr,
-                 self._pr, self._pr, self._pc, self._pr, self._pr),
-                (self._pr, self._pr, self._pc, self._pr, self._pr))
+                # t_new, n_emit, shadow, w, depth, rgb, alive, counts[3]
+                (self._pr, self._pr, self._pr, self._pr, self._pr,
+                 self._pc, self._pr, self._pr))
         return self._cache[key]
 
     def compact(self, m_out_local):
@@ -1239,8 +1191,10 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     rays are globally [N]; each device owns N/D contiguous rays. Each
     chunk-round is one shard_mapped MERGED program (march+eval+composite)
     whose static eval bucket comes from the previous round's MAX
-    per-device count, so every shard runs the same shapes (SPMD);
-    overflow replays eval+composite at the true size. Chunks run as
+    per-device count, so every shard runs the same shapes (SPMD); each
+    shard freezes rays at ITS OWN bucket boundary (local emission ranks —
+    no collectives), and any shard freezing escalates the shared next
+    bucket. Chunks run as
     lockstep WAVES with ONE concatenated [(chunks)*3*D] count readback
     per wave — the same RTT batching as the single-device loop.
     """
@@ -1330,20 +1284,19 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
 
     def _issue(st):
         if st.inflight:
-            o = st.inflight[-1][3]
+            o = st.inflight[-1][2]
             t, n_emit, shadow = o[0], o[1], o[2]
-            w, dep, rgb, alive = o[9], o[10], o[11], o[12]
+            w, dep, rgb, alive = o[3], o[4], o[5], o[6]
         else:
             t, n_emit, shadow = st.t, st.n_emit, st.shadow
             w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
         bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
                                 s.bucket_set)
-        inputs = (t, alive, n_emit, shadow, w, dep, rgb)
         out = rounds.merged(bucket, has_sf)(
             params, density_grid, skip_field, st.o_cf, st.d_cf, st.frw,
             t, alive, n_emit, shadow, st.orig, w, dep, rgb,
             jnp.int32(st.issued), st.seed_c)
-        st.inflight.append((st.issued, bucket, inputs, out))
+        st.inflight.append((st.issued, bucket, out))
         st.issued += 1
 
     while True:
@@ -1372,42 +1325,24 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
             break
 
         allc = _concat_counts(
-            tuple(st.inflight[0][3][-1] for st in readers)
+            tuple(st.inflight[0][2][-1] for st in readers)
             + (counts_pad,) * (len(states) - len(readers)))
         vals = _np.asarray(allc)[:3 * d_cnt * len(readers)].reshape(
             len(readers), d_cnt, 3)  # the ONE host sync of the wave
 
         for i, st in enumerate(readers):
-            ridx, bucket, inputs, out = st.inflight.pop(0)
-            (t_new, n_emit_new, shadow_new, valid, pos01, dir01, comp,
-             dts, rds, w2, d2, rgb2, alive2, _c) = out
+            ridx, bucket, out = st.inflight.pop(0)
+            (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
+             _c) = out
             k_max = int(vals[i, :, 0].max())
             alive_vec = vals[i, :, 1]
-            ovf = int(vals[i, :, 2].max())
-            st.k_est = k_max
-            if ovf:
-                # SPMD replay: uniform static bucket from the max count;
-                # dependent in-flight rounds consumed the bad state ->
-                # discard and re-issue (same indices, same jitter)
-                ns_local = s.probes_per_round * st.m
-                all_lanes = k_max >= ns_local // 2
-                if all_lanes:
-                    size = None
-                else:
-                    sizes = _bucket_sizes(ns_local, s.bucket_set)
-                    size = next((sz for sz in sizes if sz >= k_max),
-                                sizes[-1])
-                rgb_k, sigma_k = rounds.eval_bucket(size)(
-                    params, pos01, dir01, comp)
-                (st.w_sum, st.depth, st.rgb, st.alive,
-                 _n_alive) = rounds.composite(all_lanes)(
-                    rgb_k, sigma_k, comp, valid, dts, rds, inputs[0],
-                    inputs[1], st.orig, n_emit_new, inputs[4], inputs[5],
-                    inputs[6], st.frw, t_new)
-                st.inflight = []
-                st.issued = ridx + 1
-            else:
-                st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
+            frz = int(vals[i, :, 2].max())
+            # bucket-exhaustion freeze escalation (see the single-device
+            # loop): monotone while freezing persists so a stale
+            # small-bucket retire cannot downgrade it mid-pipeline
+            st.k_est = (k_max if frz == 0
+                        else max(st.k_est, k_max, (bucket or 0) + 1))
+            st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.max_alive = int(alive_vec.max())
             st.total_alive = int(alive_vec.sum())
             st.t = t_new
@@ -1417,10 +1352,10 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
             max_rounds_seen = max(max_rounds_seen, st.rounds)
             if stats is not None:
                 stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k_max, overflow=ovf,
+                    dict(chunk=st.index, m=st.m, k=k_max, frozen=frz,
                          max_alive=st.max_alive,
                          total_alive=st.total_alive))
-            if st.total_alive == 0 and not ovf:
+            if st.total_alive == 0:
                 st.done = True
                 st.inflight = []
     if capped:

@@ -104,7 +104,7 @@ def main():
     state = (t, alive, n_emit, shadow, w_sum, depth, rgb)
     for r in range(args.round_idx):
         out = run(None, state, r)
-        state = (out[0], out[12], out[1], out[2], out[9], out[10], out[11])
+        state = (out[0], out[6], out[1], out[2], out[3], out[4], out[5])
     ridx = args.round_idx
     k_true = None
 
@@ -112,7 +112,7 @@ def main():
     for bucket in variants:
         # warm compile
         out = run(bucket, state, ridx)
-        counts = np.asarray(out[13])
+        counts = np.asarray(out[7])
         if k_true is None:
             pass
         k_true = int(counts[0])
@@ -120,12 +120,12 @@ def main():
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = run(bucket, state, ridx)
-            np.asarray(out[13])  # forced read
+            np.asarray(out[7])  # forced read
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
         print(f"[profile] bucket={bucket}: {med * 1e3:.1f} ms "
               f"(n_valid={counts[0]}, n_alive={counts[1]}, "
-              f"overflow={counts[2]})", flush=True)
+              f"frozen={counts[2]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -119,10 +119,9 @@ def main():
             for r in st:
                 print(f"[rounds] chunk={r['chunk']} m={r['m']} k={r['k']} "
                       f"alive={r.get('n_alive_est', '?')} "
-                      f"ovf={r['overflow']} "
+                      f"frz={r.get('frozen', 0)} "
                       f"merged={r.get('merged_s', 0) * 1e3:.1f}ms "
-                      f"read={r.get('read_s', 0) * 1e3:.1f}ms "
-                      f"replay={r.get('replay_s', 0) * 1e3:.1f}ms",
+                      f"read={r.get('read_s', 0) * 1e3:.1f}ms",
                       flush=True)
         print(f"[sweep] {name}: {rays / 1e6:.3f} Mray/s "
               f"(median {np.median(times):.2f}s over {args.frames}; "

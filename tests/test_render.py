@@ -389,10 +389,13 @@ def test_hostloop_ray_compaction_matches_device_loop():
                                np.asarray(dev.depth), rtol=1e-5, atol=1e-5)
 
 
-def test_merged_overflow_replay_matches_device_loop():
+def test_merged_bucket_freeze_matches_device_loop():
     """The merged round program picks its eval bucket from the PREVIOUS
-    round's sample count; at surface-crossing rounds the count jumps and
-    the overflow-replay path must reproduce the device loop exactly."""
+    round's sample count; at surface-crossing rounds demand exceeds the
+    bucket and rays FREEZE at the bucket boundary (march.py pass 3),
+    resuming at the frozen probe next round. The whole-frame emission
+    stream is unchanged, so the frame must match the device loop within
+    round-partition reassociation ULPs."""
     import dataclasses
 
     from nerf_tpu.render.march import render_rays_hostloop
@@ -412,12 +415,12 @@ def test_merged_overflow_replay_matches_device_loop():
     dev = render_rays(apply_cf, params, grid, rays_o, rays_d, nears, fars,
                       settings)
     stats = {}
-    # a tiny bucket table guarantees at least one overflow round
+    # a tiny bucket table guarantees at least one freezing round
     host = render_rays_hostloop(
         apply_cf, params, grid, rays_o, rays_d, nears, fars,
         dataclasses.replace(settings, ray_chunk=100, bucket_set=(32, 128)),
         stats=stats)
-    assert sum(r["overflow"] for r in stats["rounds"]) >= 1, stats["rounds"]
+    assert sum(r["frozen"] for r in stats["rounds"]) >= 1, stats["rounds"]
     np.testing.assert_allclose(np.asarray(host.rgb), np.asarray(dev.rgb),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(host.weight_sum),
