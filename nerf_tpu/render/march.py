@@ -351,7 +351,8 @@ _FLT_MAX = jnp.float32(3.4028235e38)
 
 def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
                       s: RenderSettings, n_emit, shadow, round_idx=None,
-                      perturb_seed=None, skip_field=None, bucket=None):
+                      perturb_seed=None, skip_field=None, bucket=None,
+                      want_slots=False):
     """Vectorized march: P trajectory steps per ray per round.
 
     The key structural fact (verified against kernel_march_rays,
@@ -502,16 +503,20 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     #     cumsum, which matches the compaction cumsum's flat [P, m] order
     #     exactly.
     cap = int(s.cap_emit) if s.cap_emit else P
+    if want_slots:
+        assert 0 < cap < P, "slot compaction requires 0 < cap_emit < P"
     freezing = cap < P or bucket is not None
     limit = None if bucket is None else jnp.int32(bucket)
     base = jnp.int32(0)
-    valid_l, rds_l = [], []
+    valid_l, rds_l, rank_l = [], [], []
     last_t = t
     emit_rnd = jnp.zeros_like(n_emit)
     frozen = jnp.zeros_like(alive)
     t_freeze = t
     for k in range(P):
         tk, dt_k, tt = ts[k], dts_l[k], tt_l[k]
+        if want_slots:
+            rank_l.append(emit_rnd)  # per-ray emissions BEFORE probe k
         unshadowed = tk >= shadow
         can = (alive & (tk < far) & (n_emit < max_steps) & unshadowed
                & ~frozen)
@@ -543,6 +548,30 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         valid_l.append(emit_k)
     if freezing:
         t_new = jnp.where(frozen, t_freeze, t_new)
+
+    if want_slots:
+        # Per-ray slot compaction: with cap_emit < P every emitted sample
+        # has a round-rank r < cap, so the round's samples fit a dense
+        # [cap, m] slot grid — built with cap*P vectorized selects (pure
+        # VPU) instead of the [P*m]-update compaction scatter (~17ms of
+        # descriptor-bound HBM traffic at ns=2.1M, BASELINE.md r3).
+        # t_slot carries the probe's fold time; eval recomputes the
+        # position from it (same clip(o+t*d) expression, bit-identical),
+        # so the [3, P*m] pos01/dir01 materializations disappear too.
+        t_slot_l, probe_slot_l = [], []
+        for s_ in range(cap):
+            t_s = jnp.zeros((m,), jnp.float32)
+            p_s = jnp.full((m,), -1, jnp.int32)
+            for k in range(P):
+                match = valid_l[k] & (rank_l[k] == s_)
+                t_s = jnp.where(match, ts[k], t_s)
+                p_s = jnp.where(match, jnp.int32(k), p_s)
+            t_slot_l.append(t_s)
+            probe_slot_l.append(p_s)
+        t_slot = jnp.stack(t_slot_l)          # [cap, m]
+        probe_slot = jnp.stack(probe_slot_l)  # [cap, m], -1 = empty
+    else:
+        t_slot = probe_slot = None
 
     xs = jnp.stack(xs_l, axis=1)      # [3, P, m]
     dts = jnp.stack(dts_l, axis=0)    # [P, m]
@@ -583,6 +612,9 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             t_new = jnp.where(adopted, tk2, t_new)
         shadow = sh
 
+    if want_slots:
+        return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen,
+                t_slot, probe_slot)
     return t_new, xs, dts, rds, valid, n_emit, shadow, frozen
 
 
@@ -625,6 +657,39 @@ def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
             n_emit_new, shadow_new, n_frozen)
 
 
+def _march_compact_slots(density_grid, skip_field, rays_o_cf, rays_d_cf,
+                         fars, t, alive, n_emit, shadow, round_idx,
+                         perturb_seed, s: RenderSettings, bucket):
+    """Slot-mode march + compaction (requires 0 < cap_emit < P).
+
+    The round's samples live on a dense [cap, m] slot grid (see
+    _march_round_deep want_slots); the bucket compaction cumsum+scatter
+    runs over cap*m lanes instead of P*m — 4x fewer scatter updates at
+    the flagship settings — and no [3, P*m] position arrays are
+    materialized (XLA DCEs the unused xs stack). Returns (t_new,
+    valid [P,m], t_slot [cap,m], probe_slot [cap,m], comp [cap*m],
+    n_valid, dts, rds, n_emit_new, shadow_new, n_frozen)."""
+    m = t.shape[0]
+    cap = int(s.cap_emit)
+    nslot = cap * m
+
+    (t_new, _xs, dts, rds, valid, n_emit_new, shadow_new, frozen,
+     t_slot, probe_slot) = _march_round_deep(
+        t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
+        shadow, round_idx=round_idx, perturb_seed=perturb_seed,
+        skip_field=skip_field, bucket=bucket, want_slots=True)
+
+    vflat = (probe_slot >= 0).reshape(nslot)
+    dest = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    n_valid = jnp.maximum(dest[-1] + 1, 0)
+    src = jnp.arange(nslot, dtype=jnp.int32)
+    comp = jnp.full((nslot,), nslot, jnp.int32).at[
+        jnp.where(vflat, dest, nslot)].set(src, mode="drop")
+    n_frozen = jnp.sum(frozen.astype(jnp.int32))
+    return (t_new, valid, t_slot, probe_slot, comp, n_valid, dts, rds,
+            n_emit_new, shadow_new, n_frozen)
+
+
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
                             t_round_start, weight_sum, depth, rgb_acc):
     """_composite_round with an explicit validity mask [P, N] instead of
@@ -633,10 +698,37 @@ def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
                                t_round_start, weight_sum, depth, rgb_acc)
 
 
+def _eval_slot_core(apply_fn: Callable, params, t_slot, probe_slot,
+                    rays_o_cf, rays_d_cf, comp, size: int,
+                    s: RenderSettings):
+    """Slot-mode eval: gather the compacted prefix's fold times + ray
+    ids, recompute positions with the march's exact clip(o+t*d)
+    expression (bit-identical — no [3, ns] materialization to gather
+    from). Returns (rgb [3, size], sigma [size], dest [size]) where dest
+    is the [P*m]-flat composite destination (sentinel ns for padding)."""
+    cap, m = t_slot.shape
+    nslot = cap * m
+    ns = s.probes_per_round * m
+    bound = jnp.float32(s.bound)
+    craw = comp[:size]
+    c = jnp.minimum(craw, nslot - 1)
+    ray = c % m
+    t_c = t_slot.reshape(nslot)[c]
+    o_c = rays_o_cf[:, ray]
+    d_c = rays_d_cf[:, ray]
+    x = jnp.clip(o_c + t_c[None, :] * d_c, -bound, bound)
+    pos01 = x / (2.0 * bound) + 0.5
+    dir01 = d_c * 0.5 + 0.5
+    probe_c = probe_slot.reshape(nslot)[c]
+    dest = jnp.where(craw == nslot, ns, probe_c * m + ray)
+    rgb_k, sigma_k = apply_fn(params, pos01, dir01)
+    return rgb_k, sigma_k, dest
+
+
 def _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
                             orig, n_emit, w_sum_full, depth_full, rgb_full,
                             fars, t_new, s: RenderSettings,
-                            all_lanes: bool = False):
+                            all_lanes: bool = False, dest=None):
     """Probe-major compositing of eval results into full-chunk
     accumulators.
 
@@ -658,7 +750,7 @@ def _composite_scatter_core(rgb_k, sigma_k, comp, valid, dts, rds, t, alive,
         sigma = sigma_k.reshape(P, m)
         rgb_s = rgb_k.reshape(3, P, m)
     else:
-        c = comp[:size]
+        c = comp[:size] if dest is None else dest
         sigma = jnp.zeros((ns,), jnp.float32).at[c].set(
             sigma_k, mode="drop").reshape(P, m)
         rgb_s = jnp.stack([
@@ -738,6 +830,29 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
     s = settings
     m = t.shape[0]
     ns = s.probes_per_round * m
+    slot_mode = (bucket is not None and bucket != 0
+                 and 0 < s.cap_emit < s.probes_per_round)
+
+    if slot_mode:
+        # Slot-mode round: [cap, m] slot grid instead of a [P*m]
+        # compaction scatter; eval recomputes positions from fold times
+        # (see _march_compact_slots). Output-identical to the dense path.
+        bucket = min(int(bucket), int(s.cap_emit) * m)
+        (t_new, valid, t_slot, probe_slot, comp, n_valid, dts, rds,
+         n_emit_new, shadow_new, n_frozen) = _march_compact_slots(
+            density_grid, skip_field, rays_o_cf, rays_d_cf, fars, t,
+            alive, n_emit, shadow, round_idx, perturb_seed, s,
+            bucket=bucket)
+        rgb_k, sigma_k, dest = _eval_slot_core(
+            apply_fn, params, t_slot, probe_slot, rays_o_cf, rays_d_cf,
+            comp, bucket, s)
+        w2, d2, rgb2, alive2, n_alive = _composite_scatter_core(
+            rgb_k, sigma_k, comp, valid, dts, rds, t, alive, orig,
+            n_emit_new, w_sum, depth, rgb, fars, t_new, s,
+            all_lanes=False, dest=dest)
+        counts = jnp.stack([n_valid, n_alive, n_frozen])
+        return (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
+                counts)
 
     (t_new, valid, pos01, dir01, comp, n_valid, dts, rds, n_emit_new,
      shadow_new, n_frozen) = _march_compact_core(
