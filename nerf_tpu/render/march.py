@@ -409,7 +409,11 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     — see pass 3. None = unlimited (the all-lanes eval never overflows).
 
     Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
-    n_emit_new [m], shadow_new [m], frozen [m] bool).
+    n_emit_new [m], shadow_new [m], frozen_bucket [m] bool). The frozen
+    flag reports BUCKET-boundary freezes only (the host's escalation
+    signal); cap_emit freezes still stop the ray for the round but are
+    not reported — they are routine at surface rounds and do not
+    indicate bucket shortage.
     """
     m = t.shape[0]
     P = s.probes_per_round
@@ -512,6 +516,12 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     last_t = t
     emit_rnd = jnp.zeros_like(n_emit)
     frozen = jnp.zeros_like(alive)
+    # bucket-boundary freezes only (excludes cap_emit freezes): the
+    # host's bucket-escalation signal. cap_emit freezes fire at EVERY
+    # surface round by design and say nothing about bucket shortage —
+    # conflating them drove every surface round to the largest ladder
+    # rung (~3x the needed eval, BENCH r3 regression).
+    frozen_b = jnp.zeros_like(alive)
     t_freeze = t
     for k in range(P):
         tk, dt_k, tt = ts[k], dts_l[k], tt_l[k]
@@ -533,6 +543,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             over = emit_k & (base + c - 1 >= limit)
             emit_k = emit_k & ~over
             freeze_k = over if freeze_k is None else freeze_k | over
+            frozen_b = frozen_b | over
             base = jnp.minimum(base + c[-1], limit)
         if freezing:
             frozen = frozen | freeze_k
@@ -613,9 +624,9 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         shadow = sh
 
     if want_slots:
-        return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen,
+        return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b,
                 t_slot, probe_slot)
-    return t_new, xs, dts, rds, valid, n_emit, shadow, frozen
+    return t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b
 
 
 def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
@@ -909,8 +920,16 @@ def _choose_bucket(k_est: int, ns: int, allowed):
     an escalation round is far cheaper than one all-lanes round."""
     ladder = sorted(b for b in allowed if b < ns) if allowed else []
     if k_est < 0:
-        # no information yet: the largest ladder bucket (not all-lanes)
-        return ladder[-1] if ladder else None
+        # no information yet (the first depth_pipe rounds): guess CHEAP.
+        # Rays start at the AABB entry, so round 0 is almost always pure
+        # traversal; freeze-and-escalate makes a wrong guess benign (one
+        # ~12ms escalation round) while a large blind bucket costs ~76ms
+        # per blind round (profile_round, bucket=524288 vs 0). k_est=-1
+        # means round 0 (guess 0); k_est=-2 means round 1 (guess the
+        # smallest rung — rays may reach surfaces on the second round).
+        if k_est == -1:
+            return 0
+        return ladder[0] if ladder else None
     if k_est == 0:
         return 0
     headroom = 2 * k_est
@@ -1104,7 +1123,9 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         else:
             t, n_emit, shadow = st.t, st.n_emit, st.shadow
             w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
-        bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+        k_est = st.k_est if st.k_est >= 0 else (-1 if st.issued == 0
+                                                else -2)
+        bucket = _choose_bucket(k_est, s.probes_per_round * st.m,
                                 s.bucket_set)
         out = _round_merged(
             apply_fn, params, density_grid, skip_field, st.o_cf, st.d_cf,
@@ -1405,7 +1426,9 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         else:
             t, n_emit, shadow = st.t, st.n_emit, st.shadow
             w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
-        bucket = _choose_bucket(st.k_est, s.probes_per_round * st.m,
+        k_est = st.k_est if st.k_est >= 0 else (-1 if st.issued == 0
+                                                else -2)
+        bucket = _choose_bucket(k_est, s.probes_per_round * st.m,
                                 s.bucket_set)
         out = rounds.merged(bucket, has_sf)(
             params, density_grid, skip_field, st.o_cf, st.d_cf, st.frw,
