@@ -1181,11 +1181,17 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
             # frozen rays mean the round's demand exceeded the bucket:
             # escalate so the next issue picks a strictly larger bucket
             # (frozen rays resume at their frozen probe — no work lost).
-            # max() against the current estimate: with pipelining, a
-            # stale small-bucket round retires AFTER an escalation and
-            # must not downgrade it while freezing persists.
+            # Each bucket-frozen ray deferred >= 1 sample, so k + frozen
+            # is a demand FLOOR — escalating by it jumps straight to the
+            # right rung instead of one rung per freeze round (a first
+            # surface wave at ~200k demand cost 4-5 freeze rounds with
+            # rung-by-rung escalation). max() against the current
+            # estimate: with pipelining, a stale small-bucket round
+            # retires AFTER an escalation and must not downgrade it
+            # while freezing persists.
             st.k_est = (k if n_frozen == 0
-                        else max(st.k_est, k, (bucket or 0) + 1))
+                        else max(st.k_est, k + n_frozen,
+                                 (bucket or 0) + 1))
             st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.n_alive_est = n_alive
             st.t = t_new
@@ -1476,10 +1482,12 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
             alive_vec = vals[i, :, 1]
             frz = int(vals[i, :, 2].max())
             # bucket-exhaustion freeze escalation (see the single-device
-            # loop): monotone while freezing persists so a stale
-            # small-bucket retire cannot downgrade it mid-pipeline
+            # loop): k + frozen is a per-shard demand floor; monotone
+            # while freezing persists so a stale small-bucket retire
+            # cannot downgrade it mid-pipeline
             st.k_est = (k_max if frz == 0
-                        else max(st.k_est, k_max, (bucket or 0) + 1))
+                        else max(st.k_est, k_max + frz,
+                                 (bucket or 0) + 1))
             st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
             st.max_alive = int(alive_vec.max())
             st.total_alive = int(alive_vec.sum())
