@@ -1136,24 +1136,28 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
 
     while True:
         t_wave = _time.perf_counter()
-        for st in states:
-            if st.done:
-                continue
-            # FILL the pipeline to depth_pipe (issuing just one per wave
-            # would retire it in the same wave's read and never overlap)
-            while len(st.inflight) < depth_pipe:
+        # BREADTH-FIRST fill: issue every chunk's next round before any
+        # chunk's second (depth-first fill made the first wave's read —
+        # which waits for every chunk's OLDEST round — barrier on 2n-1
+        # of the 2n issued programs, since the device executes in issue
+        # order; issuing just one per wave would retire it in the same
+        # wave's read and never overlap)
+        for _depth in range(depth_pipe):
+            for st in states:
+                if st.done or len(st.inflight) > _depth:
+                    continue
                 if st.issued >= max_host_rounds:
                     if not st.inflight:
                         st.done = True
                         capped.append(st)
-                    break
+                    continue
                 # ray compaction is a shape change — stall issuing until
                 # the pipeline drains, then compact and refill
                 target = min((b for b in ladder
                               if b >= st.n_alive_est), default=st.m)
                 if target < st.m:
                     if st.inflight:
-                        break
+                        continue
                     (st.alive, st.t, st.o_cf, st.d_cf, st.frw,
                      st.orig, st.n_emit, st.shadow) = _compact_rays(
                         st.alive, st.t, st.o_cf, st.d_cf, st.frw,
@@ -1444,20 +1448,21 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         st.issued += 1
 
     while True:
-        for st in states:
-            if st.done:
-                continue
-            while len(st.inflight) < depth_pipe:
+        # breadth-first fill — see render_rays_hostloop
+        for _depth in range(depth_pipe):
+            for st in states:
+                if st.done or len(st.inflight) > _depth:
+                    continue
                 if st.issued >= max_host_rounds:
                     if not st.inflight:
                         st.done = True
                         capped.append(st)
-                    break
+                    continue
                 target = min((b for b in ladder if b >= st.max_alive),
                              default=st.m)
                 if target < st.m:
                     if st.inflight:
-                        break  # drain before the shape change
+                        continue  # drain before the shape change
                     (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
                      st.n_emit, st.shadow) = rounds.compact(target)(
                         st.alive, st.t, st.o_cf, st.d_cf, st.frw,
