@@ -62,16 +62,25 @@ def _tcnn_rows_for_cells(enc: GridEncoding, lvl: int,
 
 def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
                      density_thresh: float, bound: float,
-                     scale: float, nb: int) -> np.ndarray:
+                     scale: float, nb: int,
+                     max_bricks: int = 0) -> np.ndarray:
     """Brick coords [K, 3] (int) of one TpuGrid level whose cells can be
     touched by samples inside occupied occupancy-grid cells.
 
     Marched sample positions live in occupied cells of some mip
     (render_utils.h:606-619); pos01 = x/(2*bound)+0.5 maps each occupancy
     cell to a pos01 box, which maps to a level-cell range via
-    pos = pos01*scale + 0.5 (+1 for the trilerp upper corner)."""
+    pos = pos01*scale + 0.5 (+1 for the trilerp upper corner).
+
+    The candidate set is K_cells x span^3 before dedup — processed in
+    bounded blocks with incremental np.unique (a dense random snapshot at
+    fine levels otherwise materializes tens of GB; measured OOM at res
+    128 / grid_h 128). max_bricks > 0 deterministically stride-subsamples
+    the deduped set: fine hashed levels compress ~64x into rows anyway,
+    so each row's average over a uniform brick subsample estimates the
+    full-average row value (trained/sparse scenes rarely hit the cap)."""
     h = grid_h
-    out = []
+    uniq = np.zeros((0,), np.int64)
     for cas in range(cascade):
         occ = density_grid[cas * h ** 3:(cas + 1) * h ** 3] > density_thresh
         idx = np.nonzero(occ)[0]
@@ -80,30 +89,44 @@ def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
         cx = idx // (h * h)
         cy = (idx // h) % h
         cz = idx % h
-        cells = np.stack([cx, cy, cz], axis=1).astype(np.float64)
+        cells_all = np.stack([cx, cy, cz], axis=1).astype(np.float64)
         mip_bound = min(float(1 << cas), bound)
         # occupancy cell k spans x in [k, k+1)/h * 2*mip_bound - mip_bound
-        lo01 = (cells / h * 2.0 * mip_bound - mip_bound) \
+        lo01 = (cells_all / h * 2.0 * mip_bound - mip_bound) \
             / (2.0 * bound) + 0.5
-        hi01 = ((cells + 1.0) / h * 2.0 * mip_bound - mip_bound) \
+        hi01 = ((cells_all + 1.0) / h * 2.0 * mip_bound - mip_bound) \
             / (2.0 * bound) + 0.5
         cell_lo = np.floor(lo01 * scale + 0.5).astype(np.int64)
         cell_hi = np.floor(hi01 * scale + 0.5).astype(np.int64) + 1
-        brick_lo = np.maximum(cell_lo >> 1, 0)
-        brick_hi = np.minimum(cell_hi >> 1, nb - 1)
-        span = int((brick_hi - brick_lo).max()) + 1
+        brick_lo_all = np.maximum(cell_lo >> 1, 0)
+        brick_hi_all = np.minimum(cell_hi >> 1, nb - 1)
+        span = int((brick_hi_all - brick_lo_all).max()) + 1
         offs = np.arange(span)
-        # K x span^3 candidate bricks, clamped per-cell to its own range
-        bx = np.minimum(brick_lo[:, 0:1] + offs[None, :], brick_hi[:, 0:1])
-        by = np.minimum(brick_lo[:, 1:2] + offs[None, :], brick_hi[:, 1:2])
-        bz = np.minimum(brick_lo[:, 2:3] + offs[None, :], brick_hi[:, 2:3])
-        grid = (bx[:, :, None, None] * (nb * nb)
-                + by[:, None, :, None] * nb
-                + bz[:, None, None, :]).reshape(-1)
-        out.append(grid)
-    if not out:
+        block = max(1024, int(32e6 // (span ** 3)))
+        for s0 in range(0, len(brick_lo_all), block):
+            brick_lo = brick_lo_all[s0:s0 + block]
+            brick_hi = brick_hi_all[s0:s0 + block]
+            # B x span^3 candidates, clamped per-cell to its own range
+            bx = np.minimum(brick_lo[:, 0:1] + offs[None, :],
+                            brick_hi[:, 0:1])
+            by = np.minimum(brick_lo[:, 1:2] + offs[None, :],
+                            brick_hi[:, 1:2])
+            bz = np.minimum(brick_lo[:, 2:3] + offs[None, :],
+                            brick_hi[:, 2:3])
+            grid = (bx[:, :, None, None] * (nb * nb)
+                    + by[:, None, :, None] * nb
+                    + bz[:, None, None, :]).reshape(-1)
+            uniq = np.unique(np.concatenate([uniq, np.unique(grid)]))
+            if max_bricks and uniq.size > 4 * max_bricks:
+                # keep the running set bounded too (dense snapshots):
+                # deterministic stride keeps coverage roughly uniform
+                uniq = uniq[::2]
+    if uniq.size == 0:
         return np.zeros((0, 3), np.int64)
-    keys = np.unique(np.concatenate(out))
+    keys = uniq
+    if max_bricks and keys.size > max_bricks:
+        stride = -(-keys.size // max_bricks)  # ceil
+        keys = keys[::stride]
     return np.stack([keys // (nb * nb), (keys // nb) % nb, keys % nb],
                     axis=1)
 
@@ -113,7 +136,8 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
                     density_grid: Optional[np.ndarray] = None,
                     grid_h: int = 128, cascade: int = 1,
                     bound: float = 1.0,
-                    density_thresh: float = 0.01
+                    density_thresh: float = 0.01,
+                    max_bricks_per_level: int = 4_000_000
                     ) -> Tuple[np.ndarray, Dict]:
     """Resample tcnn-layout grid params into TpuGrid rows.
 
@@ -155,7 +179,8 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
                     "the converted brick set")
             bricks = _occupied_bricks(
                 np.asarray(density_grid), grid_h, cascade, density_thresh,
-                bound, float(tpu_enc._scales[lvl]), nb)
+                bound, float(tpu_enc._scales[lvl]), nb,
+                max_bricks=max_bricks_per_level)
         if len(bricks) == 0:
             stats["levels"].append(dict(level=lvl, bricks=0, rows=rows_lvl,
                                         collided_rows=0))
