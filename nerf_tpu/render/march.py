@@ -1134,6 +1134,8 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         st.inflight.append((st.issued, bucket, out))
         st.issued += 1
 
+    tail_depth = 4
+    tail_m_fill = ladder[-1] if len(ladder) > 1 else 0
     while True:
         t_wave = _time.perf_counter()
         # BREADTH-FIRST fill: issue every chunk's next round before any
@@ -1141,10 +1143,15 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         # which waits for every chunk's OLDEST round — barrier on 2n-1
         # of the 2n issued programs, since the device executes in issue
         # order; issuing just one per wave would retire it in the same
-        # wave's read and never overlap)
-        for _depth in range(depth_pipe):
+        # wave's read and never overlap). Tail chunks fill deeper: their
+        # whole chain retires in one read (see the wave read below), so
+        # depth-4 fill turns one RTT into four rounds of progress.
+        for _depth in range(tail_depth):
             for st in states:
                 if st.done or len(st.inflight) > _depth:
+                    continue
+                if _depth >= (tail_depth if st.m <= tail_m_fill
+                              else depth_pipe):
                     continue
                 if st.issued >= max_host_rounds:
                     if not st.inflight:
@@ -1168,16 +1175,31 @@ def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
         if not readers:
             break
 
-        # the ONE host sync of the wave: every chunk's OLDEST round
+        # the ONE host sync of the wave. Steady state reads every
+        # chunk's OLDEST in-flight round so the newer round's device work
+        # overlaps the RTT. TAIL chunks (compacted working set — device
+        # work per round is far below the ~26ms RTT) instead read their
+        # NEWEST round: the read barriers its in-flight predecessors
+        # anyway, so one RTT retires the whole chain instead of one
+        # round per RTT.
+        tail_m = ladder[-1] if len(ladder) > 1 else 0
+        for st in readers:
+            st._tail = st.m <= tail_m
         allc = _concat_counts(
-            tuple(st.inflight[0][2][-1] for st in readers)
+            tuple(st.inflight[-1 if st._tail else 0][2][-1]
+                  for st in readers)
             + (counts_pad,) * (len(states) - len(readers)))
         t_read = _time.perf_counter()
         vals = _np.asarray(allc).reshape(-1, 3)[:len(readers)]
         t_done = _time.perf_counter()
 
         for i, st in enumerate(readers):
-            ridx, bucket, out = st.inflight.pop(0)
+            if st._tail:
+                # retire the whole chain from its newest round
+                ridx, bucket, out = st.inflight[-1]
+                st.inflight = []
+            else:
+                ridx, bucket, out = st.inflight.pop(0)
             (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
              _c) = out
             k, n_alive, n_frozen = (int(vals[i, 0]), int(vals[i, 1]),
@@ -1447,11 +1469,17 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         st.inflight.append((st.issued, bucket, out))
         st.issued += 1
 
+    tail_depth = 4
+    tail_m_fill = ladder[-1] if len(ladder) > 1 else 0
     while True:
-        # breadth-first fill — see render_rays_hostloop
-        for _depth in range(depth_pipe):
+        # breadth-first fill; deeper for tail chunks — see
+        # render_rays_hostloop
+        for _depth in range(tail_depth):
             for st in states:
                 if st.done or len(st.inflight) > _depth:
+                    continue
+                if _depth >= (tail_depth if st.m <= tail_m_fill
+                              else depth_pipe):
                     continue
                 if st.issued >= max_host_rounds:
                     if not st.inflight:
@@ -1473,14 +1501,23 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
         if not readers:
             break
 
+        # tail chunks read their NEWEST round and retire the whole chain
+        # in one RTT — see render_rays_hostloop
+        for st in readers:
+            st._tail = st.m <= tail_m_fill
         allc = _concat_counts(
-            tuple(st.inflight[0][2][-1] for st in readers)
+            tuple(st.inflight[-1 if st._tail else 0][2][-1]
+                  for st in readers)
             + (counts_pad,) * (len(states) - len(readers)))
         vals = _np.asarray(allc)[:3 * d_cnt * len(readers)].reshape(
             len(readers), d_cnt, 3)  # the ONE host sync of the wave
 
         for i, st in enumerate(readers):
-            ridx, bucket, out = st.inflight.pop(0)
+            if st._tail:
+                ridx, bucket, out = st.inflight[-1]
+                st.inflight = []
+            else:
+                ridx, bucket, out = st.inflight.pop(0)
             (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
              _c) = out
             k_max = int(vals[i, :, 0].max())
