@@ -221,7 +221,11 @@ def main():
         attempts.append(("sharp-tpugrid", sharp_tpu, 800, 65536))
     attempts += [
         ("tpugrid", TPU_NETWORK_CONFIG, 800, 65536),
-        ("tpugrid", TPU_NETWORK_CONFIG, 256, 65536),
+        # 4 chunks of 16384 (a cached ray-ladder shape): a single-chunk
+        # 256x256 frame cannot overlap its own count reads (each round
+        # chains on the previous), so small frames pipeline across
+        # chunks instead
+        ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
     ]
     if os.path.exists(sharp_hash):
         attempts.append(("sharp-hashgrid", sharp_hash, 800, 65536))

@@ -136,6 +136,51 @@ class TpuGridEncoding(Encoding):
         return jax.random.uniform(key, (self._n_params,), jnp.float32,
                                   -1e-4, 1e-4)
 
+    def _share_keys(self, lvl: int) -> np.ndarray:
+        """Absolute-cell key per (row, neighborhood-slot) of one DENSE
+        level — int32 [rows_lvl * 27]. Adjacent bricks' 3^3 neighborhoods
+        overlap (brick b's cells 2b..2b+2 share plane 2b+2 with brick
+        b+1), so a spatial cell is stored in up to 8 rows; the key maps
+        every duplicate to one id."""
+        nb = int(self._nbricks[lvl])
+        b = np.arange(nb ** 3, dtype=np.int64)
+        bx, by, bz = b // (nb * nb), (b // nb) % nb, b % nb
+        offs = np.stack(np.meshgrid(np.arange(3), np.arange(3),
+                                    np.arange(3), indexing="ij"),
+                        axis=-1).reshape(27, 3)
+        ncell = 2 * nb + 1
+        cx = bx[:, None] * 2 + offs[None, :, 0]
+        cy = by[:, None] * 2 + offs[None, :, 1]
+        cz = bz[:, None] * 2 + offs[None, :, 2]
+        return ((cx * ncell + cy) * ncell + cz).reshape(-1) \
+            .astype(np.int32)
+
+    def project_shared_cells(self, params):
+        """Average every duplicated boundary cell across the rows that
+        store it (dense levels; hashed levels alias rows across bricks,
+        so duplicate identity is ill-defined there). Periodic projection
+        approximates hard parameter sharing — the brick-local
+        parameterization's seams come from duplicates drifting apart
+        during training (the soft version is the brick_consistency_loss
+        regularizer)."""
+        F = self.n_features_per_level
+        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
+        for lvl in range(self.n_levels):
+            if not self._dense[lvl] or int(self._nbricks[lvl]) < 2:
+                continue
+            off = int(self._offsets[lvl])
+            rows_lvl = int(self._rows[lvl])
+            keys = jnp.asarray(self._share_keys(lvl))
+            nseg = (2 * int(self._nbricks[lvl]) + 1) ** 3
+            sl = table[off:off + rows_lvl].reshape(-1, F)
+            s = jax.ops.segment_sum(sl, keys, num_segments=nseg)
+            c = jax.ops.segment_sum(jnp.ones((sl.shape[0],), jnp.float32),
+                                    keys, num_segments=nseg)
+            mean = s / jnp.maximum(c, 1.0)[:, None]
+            table = table.at[off:off + rows_lvl].set(
+                mean[keys].reshape(rows_lvl, _N_NEIGHBORHOOD, F))
+        return table.reshape(-1)
+
     def prepare_params(self, params):
         """Build the packed/padded uint32 gather table once (see
         _pack_table / _pack_table_int8). Returns {"ptable": ...} or

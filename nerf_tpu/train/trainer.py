@@ -158,3 +158,18 @@ class Trainer:
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema,
                                params)
         return params, opt_state, ema, loss
+
+    def project(self, params):
+        """Hard brick-boundary sharing: average duplicated boundary
+        cells across rows (TpuGrid dense levels; see
+        TpuGridEncoding.project_shared_cells). Call periodically between
+        steps — projection approximates parameter tying without touching
+        optimizer moments."""
+        enc = getattr(self.net, "pos_encoding", None)
+        if not hasattr(enc, "project_shared_cells"):
+            return params
+        if not hasattr(self, "_jit_project"):
+            self._jit_project = jax.jit(enc.project_shared_cells)
+        out = dict(params)
+        out["pos_encoding"] = self._jit_project(params["pos_encoding"])
+        return out

@@ -115,6 +115,9 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--views", type=int, default=24)
     p.add_argument("--brick-reg", type=float, default=0.0)
+    p.add_argument("--project-every", type=int, default=0,
+                   help="hard brick-boundary sharing: project duplicated "
+                        "dense-level cells to their mean every N steps")
     p.add_argument("--log2-rows", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--grid-update-every", type=int, default=16)
@@ -201,6 +204,8 @@ def main(argv=None):
         params, opt_state, ema, loss = trainer.step(
             params, opt_state, ema, (bo, bd, nears, fars, target), key,
             density_grid=grid)
+        if args.project_every and step % args.project_every == 0:
+            params = trainer.project(params)
         if step >= 256 and step % args.grid_update_every == 0:
             grid = generate_density_grid(net, params, grid, dg_settings,
                                          key=key)
@@ -237,6 +242,7 @@ def main(argv=None):
     record = dict(encoding=args.encoding, steps=args.steps,
                   batch=args.batch, res=res, views=args.views,
                   brick_reg=args.brick_reg,
+                  project_every=args.project_every,
                   log2_rows=cfg["encoding"].get("log2_rows"),
                   psnr_mean=float(np.mean(scores)), psnr_views=scores,
                   mean_density=md, wall_s=time.time() - t0)
