@@ -101,6 +101,14 @@ class RenderSettings:
     # gather-free trajectory extension steps per round (lattice-exact
     # empty-space skipping, see march.py pass 4); 0 disables
     extend_steps: int = 32
+    # chained free-ball extensions per round (march.py pass 4): after the
+    # batched probe pass + extension, re-gather the skip field at the
+    # advanced position (ONE [m] descriptor per ball vs P*[m] for a probe
+    # pass) and walk up to chain_steps more gather-free lattice points in
+    # its free ball. Cuts occupancy-probe descriptors per traversed
+    # distance ~2x at the flagship settings (BASELINE r4). 0 disables.
+    chain_balls: int = 0
+    chain_steps: int = 8
     # deep-march per-round emission cap (the analog of the reference's
     # num_step<=8 march budget, nerf_render.cu:300): rays freeze at their
     # cap_emit-th occupied probe so samples past the compositor's

@@ -238,6 +238,10 @@ class NerfRender:
 
             rounds = (None if self.mesh is None
                       else _ShardedRounds(self.mesh, settings, apply_fn))
+            # demand-profile plan carried across frames (hostloop.py);
+            # closure-local so a resolution/scene change (which rebuilds
+            # the render fn) starts from a fresh reactive frame
+            profile = {}
 
             def render(params, density_grid, cam_params, rotation, origin,
                        perturb_seed):
@@ -249,12 +253,14 @@ class NerfRender:
                     res = render_rays_hostloop_sharded(
                         rounds, params, density_grid, rays_o, rays_d,
                         nears, fars, perturb_seed=perturb_seed,
-                        stats=stats, skip_field=skip_field)
+                        stats=stats, skip_field=skip_field,
+                        profile=profile)
                 else:
                     res = render_rays_hostloop(
                         apply_fn, params, density_grid, rays_o, rays_d,
                         nears, fars, settings, perturb_seed=perturb_seed,
-                        stats=stats, skip_field=skip_field)
+                        stats=stats, skip_field=skip_field,
+                        profile=profile)
                 self.last_stats = stats
                 return res.rgb, res.depth, res.weight_sum
 

@@ -349,6 +349,25 @@ def _render_chunk(apply_fn: Callable, params, density_grid, rays_o_cf,
 _FLT_MAX = jnp.float32(3.4028235e38)
 
 
+def _skip_lookup(skip_field, idx):
+    """Gather chebyshev distance-to-occupied for cell ids `idx` (any
+    shape) from a flat [C*H^3] or width-packed [C*H^3/w, w] skip field
+    (density_grid.py:pack_skip_field). One descriptor per probe either
+    way, but width-2/4 rows run ~1.56x the width-1 descriptor rate on
+    v5e (bench_gather.py) — gather the w-cell row and lane-select the
+    probe's cell with vectorized wheres."""
+    if skip_field.ndim == 2:
+        w = skip_field.shape[1]
+        g = skip_field[idx // w]                # [..., w]
+        lane = idx % w
+        if w == 4:
+            b1 = (lane >= 2)[..., None]
+            pair = jnp.where(b1, g[..., 2:4], g[..., 0:2])
+            return jnp.where((lane & 1) == 1, pair[..., 1], pair[..., 0])
+        return jnp.where((lane & 1) == 1, g[..., 1], g[..., 0])  # w == 2
+    return skip_field[idx]
+
+
 def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
                       s: RenderSettings, n_emit, shadow, round_idx=None,
                       perturb_seed=None, skip_field=None, bucket=None,
@@ -469,23 +488,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     # ---- pass 2: ONE batched occupancy gather -------------------------
     idx_all = jnp.stack(idx_l, axis=0)          # [P, m]
     if skip_field is not None:
-        if skip_field.ndim == 2:
-            # packed rows (pack_skip_field): gather a w-cell row per
-            # probe — one descriptor either way, but width-2/4 rows run
-            # ~1.56x the width-1 descriptor rate (bench_gather.py) — and
-            # lane-select the probe's cell with vectorized wheres.
-            w = skip_field.shape[1]
-            g = skip_field[idx_all // w]        # [P, m, w]
-            lane = idx_all % w
-            if w == 4:
-                b1 = (lane >= 2)[..., None]
-                pair = jnp.where(b1, g[..., 2:4], g[..., 0:2])
-                df_all = jnp.where((lane & 1) == 1, pair[..., 1],
-                                   pair[..., 0])
-            else:  # w == 2
-                df_all = jnp.where((lane & 1) == 1, g[..., 1], g[..., 0])
-        else:
-            df_all = skip_field[idx_all]        # int32 chebyshev distances
+        df_all = _skip_lookup(skip_field, idx_all)  # chebyshev distances
         occ_all = df_all == 0
     else:
         occ_all = density_grid[idx_all] > density_thresh
@@ -589,39 +592,71 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     rds = jnp.stack(rds_l, axis=0)
     valid = jnp.stack(valid_l, axis=0)
 
-    # ---- pass 4: lattice-exact empty-space extension ------------------
-    # Continue the exact fold recurrence for up to extend_steps gather-
-    # free steps, adopted only while the step's cell stays inside the
-    # last probe's free ball (see docstring).
+    # ---- pass 4: lattice-exact empty-space extension + ball chain -----
+    # Continue the exact fold recurrence for gather-free steps, each
+    # adopted only while its cell provably sits inside a free ball (see
+    # docstring). Ball 0 is centered on the LAST gathered probe (its df
+    # is already in hand); each CHAINED ball then re-gathers the skip
+    # field at the advanced position — ONE [m] descriptor per ball vs
+    # P*[m] for a probe pass — and walks its ball. For every live
+    # non-frozen ray t_new is the ray's next unvisited lattice point, so
+    # each ball starts the fold there per ray; a ray adopting no step
+    # simply stays (its t_new never moves).
     if (skip_field is not None and s.cascade == 1
-            and s.extend_steps > 0):
-        last = P - 1
-        # cell of the last gathered probe (recompute from its position —
-        # cascade==1 so mip_bound == bound)
-        x_last = xs_l[last]
-        cell_last = jnp.clip(0.5 * (x_last / bound + 1.0) * h,
+            and (s.extend_steps > 0 or s.chain_balls > 0)):
+
+        def ball_pass(t_cur, sh, ok, cell_c, radius, steps):
+            """Walk up to `steps` fold points from each ray's t_cur,
+            adopting while |cell - cell_c|_inf <= radius (all such cells
+            are empty by construction of the field); the skip-shadow
+            recurrence (render_utils.h:641-651 semantics, with the H-1
+            overshoot quirk) is replayed arithmetically over adopted
+            points. Returns (t_cur', sh')."""
+            adopted = ok
+            tk2 = t_cur
+            t_out = t_cur
+            for _ in range(steps):
+                x = jnp.clip(rays_o + tk2[None, :] * rays_d, -bound,
+                             bound)
+                cell = jnp.clip(0.5 * (x / bound + 1.0) * h,
+                                0.0, float(h - 1)).astype(jnp.int32)
+                inside = jnp.max(jnp.abs(cell - cell_c), axis=0) <= radius
+                adopted = adopted & inside & (tk2 < far)
+                dt_k = jnp.clip(tk2 * dt_gamma, dt_min, dt_max)
+                bnd = ((cell.astype(jnp.float32) + 0.5 + 0.5 * sgn)
+                       / float(h - 1) * 2.0 - 1.0) * bound
+                t_axes = (bnd - x) * rd_inv
+                tt = tk2 + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
+                sh = jnp.where(adopted & (tk2 >= sh), tt, sh)
+                tk2 = tk2 + dt_k
+                t_out = jnp.where(adopted, tk2, t_out)
+            return t_out, sh
+
+        live_ext = alive & ~frozen
+        if s.extend_steps > 0:
+            last = P - 1
+            # cell of the last gathered probe (recompute from its
+            # position — cascade==1 so mip_bound == bound)
+            x_last = xs_l[last]
+            cell_last = jnp.clip(0.5 * (x_last / bound + 1.0) * h,
+                                 0.0, float(h - 1)).astype(jnp.int32)
+            ok0 = live_ext & (df_all[last] >= 2)
+            t_new, shadow = ball_pass(t_new, shadow, ok0, cell_last,
+                                      df_all[last] - 1, s.extend_steps)
+        for _b in range(s.chain_balls):
+            xc = jnp.clip(rays_o + t_new[None, :] * rays_d, -bound, bound)
+            cellc = jnp.clip(0.5 * (xc / bound + 1.0) * h,
                              0.0, float(h - 1)).astype(jnp.int32)
-        radius = df_all[last] - 1                       # [m] cells
-        adopted = alive & (df_all[last] >= 2) & ~frozen
-        sh = shadow
-        tk2 = tk  # == the fold value after P steps (t_new for alive rays)
-        for _ in range(s.extend_steps):
-            x = jnp.clip(rays_o + tk2[None, :] * rays_d, -bound, bound)
-            cell = jnp.clip(0.5 * (x / bound + 1.0) * h,
-                            0.0, float(h - 1)).astype(jnp.int32)
-            inside = jnp.max(jnp.abs(cell - cell_last), axis=0) <= radius
-            adopted = adopted & inside & (tk2 < far)
-            dt_k = jnp.clip(tk2 * dt_gamma, dt_min, dt_max)
-            # skip-shadow recurrence at lookup points (render_utils.h:
-            # 641-651 semantics, replayed arithmetically)
-            bnd = ((cell.astype(jnp.float32) + 0.5 + 0.5 * sgn)
-                   / float(h - 1) * 2.0 - 1.0) * bound
-            t_axes = (bnd - x) * rd_inv
-            tt = tk2 + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
-            sh = jnp.where(adopted & (tk2 >= sh), tt, sh)
-            tk2 = tk2 + dt_k
-            t_new = jnp.where(adopted, tk2, t_new)
-        shadow = sh
+            idxc = cellc[0] * (h * h) + cellc[1] * h + cellc[2]
+            dfc = _skip_lookup(skip_field, idxc)
+            # df >= 1 suffices here: the ball is centered on the ray's
+            # OWN next cell, so radius 0 still adopts same-cell points.
+            # A frozen ray (parked at an occupied probe) or one whose
+            # next cell is occupied (df == 0) adopts nothing and waits
+            # for the next probe pass to emit it.
+            okc = live_ext & (dfc >= 1) & (t_new < far)
+            t_new, shadow = ball_pass(t_new, shadow, okc, cellc,
+                                      dfc - 1, s.chain_steps)
 
     if want_slots:
         return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b,
@@ -837,7 +872,32 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
 
     Returns (t_new, n_emit_new, shadow_new, w_sum', depth', rgb',
     alive', counts[3]) with counts = [n_valid, n_alive', n_frozen].
+
+    The whole round is guarded by lax.cond(any(alive), ...): an all-dead
+    round is an exact identity on every output (no lane can probe, emit
+    or composite), so the dead branch returns the inputs unchanged and
+    the march/eval work is skipped at runtime. This makes deep
+    issue-ahead pipelines cheap — rounds issued past a chunk's death
+    (the host only learns of death one stale count-read later) cost ~0
+    device time instead of a full march (~16ms at m=65536, BASELINE r4).
     """
+    def _dead(_):
+        return (t, n_emit, shadow, w_sum, depth, rgb, alive,
+                jnp.zeros((3,), jnp.int32))
+
+    def _live(_):
+        return _round_merged_live(
+            apply_fn, params, density_grid, skip_field, rays_o_cf,
+            rays_d_cf, fars, t, alive, n_emit, shadow, orig, w_sum, depth,
+            rgb, round_idx, perturb_seed, settings, bucket)
+
+    return jax.lax.cond(jnp.any(alive), _live, _dead, None)
+
+
+def _round_merged_live(apply_fn: Callable, params, density_grid, skip_field,
+                       rays_o_cf, rays_d_cf, fars, t, alive, n_emit, shadow,
+                       orig, w_sum, depth, rgb, round_idx, perturb_seed,
+                       settings: RenderSettings, bucket):
     s = settings
     m = t.shape[0]
     ns = s.probes_per_round * m
@@ -1009,249 +1069,6 @@ def _concat_counts(parts):
     return jnp.concatenate(parts)
 
 
-def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
-                         rays_d, nears, fars, settings: RenderSettings,
-                         perturb_seed=None, stats=None,
-                         skip_field=None) -> RenderResult:
-    """Host-looped equivalent of render_rays (single device).
-
-    Each chunk-round is ONE merged jitted program (_round_merged):
-    march -> eval -> composite, with the eval batch chosen STATICALLY
-    from the previous round's valid-sample count; excess demand FREEZES
-    rays at the bucket boundary (never overflows — see _march_round_deep
-    pass 3) and the host escalates the next bucket. The host's only
-    syncs are ONE concatenated count read per WAVE (the analog of the
-    reference's alive-counter readback, nerf_render.cu:288-292).
-
-    Cross-round RAY compaction is unchanged: when the alive count fits a
-    smaller ladder bucket, the working set (t/origins/dirs/fars/orig/
-    n_emit/shadow) is compacted so the march stops paying for dead lanes
-    (nerf_render.cu:284-302).
-
-    skip_field (build_skip_field) enables long-range empty-space jumps
-    in the march — see _march_round_deep.
-
-    PIPELINED over chunks: the per-wave count readback costs a ~26ms
-    relay RTT; chunks are round-robined so the RTT overlaps device work.
-    Control decisions (bucket, compaction, termination) run on
-    one-round-stale counts while the math itself is ordered by
-    device-side data dependencies, so the frame equals the sequential
-    loop's.
-    """
-    import numpy as _np
-
-    s = settings
-    n_total = rays_o.shape[0]
-    chunk = min(s.ray_chunk, n_total)
-    seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
-        perturb_seed, jnp.int32)
-    ladder = _ray_buckets(chunk, s.ray_bucket_set)
-    max_host_rounds = _max_host_rounds(s)
-
-    class _Chunk:
-        pass
-
-    states = []
-    for ci, start in enumerate(range(0, n_total, chunk)):
-        end = min(start + chunk, n_total)
-        n = end - start
-        pad = chunk - n
-        o_cf = rays_o[start:end].T
-        d_cf = rays_d[start:end].T
-        nr = nears[start:end]
-        fr = fars[start:end]
-        if pad:
-            o_cf = jnp.pad(o_cf, ((0, 0), (0, pad)))
-            d_cf = jnp.pad(d_cf, ((0, 0), (0, pad)), constant_values=1.0)
-            nr = jnp.pad(nr, (0, pad), constant_values=_FLT_MAX)
-            fr = jnp.pad(fr, (0, pad), constant_values=_FLT_MAX)
-        st = _Chunk()
-        st.index, st.n, st.nr, st.fr = ci, n, nr, fr
-        st.o_cf, st.d_cf, st.frw = o_cf, d_cf, fr
-        st.w_sum = jnp.zeros((chunk,), jnp.float32)
-        st.depth = jnp.zeros((chunk,), jnp.float32)
-        st.rgb = jnp.zeros((3, chunk), jnp.float32)
-        st.t = nr
-        st.alive = nr < fr
-        st.orig = jnp.arange(chunk, dtype=jnp.int32)
-        st.n_emit = jnp.zeros((chunk,), jnp.int32)
-        st.shadow = jnp.zeros((chunk,), jnp.float32)
-        st.m = chunk
-        st.n_alive_est = chunk  # upper bound; refined by the first counts
-        st.k_est = -1           # previous round's valid-sample count
-        st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
-        st.rounds = 0
-        st.pending = None  # in-flight outputs of the last merged round
-        states.append(st)
-
-    # ---- pipelined lockstep waves ---------------------------------------
-    # Per wave: every runnable chunk ISSUES its next merged round chained
-    # on the newest in-flight outputs (device-side data dependency, no
-    # host sync), then ONE batched read retires every chunk's OLDEST
-    # in-flight round. With pipeline depth 2, round r's count read
-    # overlaps round r+1's device work — without it, the counts (which
-    # depend on the merged program's composite) turn every wave read into
-    # a full device barrier (measured: the entire 800x800 frame time).
-    # Freeze semantics keep the pipeline pure: no round is ever invalid,
-    # so nothing is discarded or re-issued.
-    import time as _time
-
-    depth_pipe = 2
-    max_rounds_seen = 0
-    counts_pad = jnp.zeros((3,), jnp.int32)
-    capped = []
-    for st in states:
-        st.inflight = []  # (round_idx, bucket, inputs, outputs) fifo
-        st.issued = 0
-        st.done = False
-
-    def _issue(st):
-        if st.inflight:
-            o = st.inflight[-1][2]
-            t, n_emit, shadow = o[0], o[1], o[2]
-            w, dep, rgb, alive = o[3], o[4], o[5], o[6]
-        else:
-            t, n_emit, shadow = st.t, st.n_emit, st.shadow
-            w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
-        k_est = st.k_est if st.k_est >= 0 else (-1 if st.issued == 0
-                                                else -2)
-        bucket = _choose_bucket(k_est, s.probes_per_round * st.m,
-                                s.bucket_set)
-        out = _round_merged(
-            apply_fn, params, density_grid, skip_field, st.o_cf, st.d_cf,
-            st.frw, t, alive, n_emit, shadow, st.orig, w, dep, rgb,
-            jnp.int32(st.issued), st.seed_c, s, bucket)
-        st.inflight.append((st.issued, bucket, out))
-        st.issued += 1
-
-    tail_depth = 4
-    tail_m_fill = ladder[-1] if len(ladder) > 1 else 0
-    while True:
-        t_wave = _time.perf_counter()
-        # BREADTH-FIRST fill: issue every chunk's next round before any
-        # chunk's second (depth-first fill made the first wave's read —
-        # which waits for every chunk's OLDEST round — barrier on 2n-1
-        # of the 2n issued programs, since the device executes in issue
-        # order; issuing just one per wave would retire it in the same
-        # wave's read and never overlap). Tail chunks fill deeper: their
-        # whole chain retires in one read (see the wave read below), so
-        # depth-4 fill turns one RTT into four rounds of progress.
-        for _depth in range(tail_depth):
-            for st in states:
-                if st.done or len(st.inflight) > _depth:
-                    continue
-                if _depth >= (tail_depth if st.m <= tail_m_fill
-                              else depth_pipe):
-                    continue
-                if st.issued >= max_host_rounds:
-                    if not st.inflight:
-                        st.done = True
-                        capped.append(st)
-                    continue
-                # ray compaction is a shape change — stall issuing until
-                # the pipeline drains, then compact and refill
-                target = min((b for b in ladder
-                              if b >= st.n_alive_est), default=st.m)
-                if target < st.m:
-                    if st.inflight:
-                        continue
-                    (st.alive, st.t, st.o_cf, st.d_cf, st.frw,
-                     st.orig, st.n_emit, st.shadow) = _compact_rays(
-                        st.alive, st.t, st.o_cf, st.d_cf, st.frw,
-                        st.orig, st.n_emit, st.shadow, target)
-                    st.m = target
-                _issue(st)
-        readers = [st for st in states if st.inflight]
-        if not readers:
-            break
-
-        # the ONE host sync of the wave. Steady state reads every
-        # chunk's OLDEST in-flight round so the newer round's device work
-        # overlaps the RTT. TAIL chunks (compacted working set — device
-        # work per round is far below the ~26ms RTT) instead read their
-        # NEWEST round: the read barriers its in-flight predecessors
-        # anyway, so one RTT retires the whole chain instead of one
-        # round per RTT.
-        tail_m = ladder[-1] if len(ladder) > 1 else 0
-        for st in readers:
-            st._tail = st.m <= tail_m
-        allc = _concat_counts(
-            tuple(st.inflight[-1 if st._tail else 0][2][-1]
-                  for st in readers)
-            + (counts_pad,) * (len(states) - len(readers)))
-        t_read = _time.perf_counter()
-        vals = _np.asarray(allc).reshape(-1, 3)[:len(readers)]
-        t_done = _time.perf_counter()
-
-        for i, st in enumerate(readers):
-            if st._tail:
-                # retire the whole chain from its newest round
-                ridx, bucket, out = st.inflight[-1]
-                st.inflight = []
-            else:
-                ridx, bucket, out = st.inflight.pop(0)
-            (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
-             _c) = out
-            k, n_alive, n_frozen = (int(vals[i, 0]), int(vals[i, 1]),
-                                    int(vals[i, 2]))
-            # frozen rays mean the round's demand exceeded the bucket:
-            # escalate so the next issue picks a strictly larger bucket
-            # (frozen rays resume at their frozen probe — no work lost).
-            # Each bucket-frozen ray deferred >= 1 sample, so k + frozen
-            # is a demand FLOOR — escalating by it jumps straight to the
-            # right rung instead of one rung per freeze round (a first
-            # surface wave at ~200k demand cost 4-5 freeze rounds with
-            # rung-by-rung escalation). max() against the current
-            # estimate: with pipelining, a stale small-bucket round
-            # retires AFTER an escalation and must not downgrade it
-            # while freezing persists.
-            st.k_est = (k if n_frozen == 0
-                        else max(st.k_est, k + n_frozen,
-                                 (bucket or 0) + 1))
-            st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
-            st.n_alive_est = n_alive
-            st.t = t_new
-            st.n_emit = n_emit_new
-            st.shadow = shadow_new
-            st.rounds = ridx + 1
-            max_rounds_seen = max(max_rounds_seen, st.rounds)
-            if stats is not None:
-                # the wave's one read barriers on ALL readers' oldest
-                # rounds — attribute its time (and the dispatch span)
-                # pro-rata so per-frame sums are not inflated len(readers)x
-                stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k, frozen=n_frozen,
-                         n_alive_est=st.n_alive_est,
-                         merged_s=(t_read - t_wave) / len(readers),
-                         read_s=(t_done - t_read) / len(readers)))
-            if n_alive == 0:
-                # drained; any chained in-flight rounds are no-ops
-                st.done = True
-                st.inflight = []
-    if capped:
-        import warnings
-
-        warnings.warn(
-            f"host-loop round cap hit ({max_host_rounds}) on "
-            f"{len(capped)} chunk(s) — frame finalized with live rays "
-            "(should be unreachable; cap derives from the worst-case "
-            "trajectory length)", RuntimeWarning)
-
-    out_rgb, out_depth, out_wsum = [], [], []
-    for st in states:
-        rgb_bias, dd = _finalize_chunk(st.w_sum, st.depth, st.nr, st.fr,
-                                       settings)
-        out_rgb.append((st.rgb + rgb_bias[None, :])[:, :st.n])
-        out_depth.append(dd[:st.n])
-        out_wsum.append(st.w_sum[:st.n])
-
-    rgb = jnp.concatenate(out_rgb, axis=1)
-    return RenderResult(rgb=rgb.T,
-                        depth=jnp.concatenate(out_depth),
-                        weight_sum=jnp.concatenate(out_wsum),
-                        n_rounds=jnp.int32(max_rounds_seen))
-
-
 # ---------------------------------------------------------------------------
 # Sharded host-driven round loop: the host loop above, with every per-round
 # program shard_mapped over a ray mesh. Each device owns a contiguous ray
@@ -1340,223 +1157,6 @@ class _ShardedRounds:
         return self._cache[key]
 
 
-def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
-                                 density_grid, rays_o, rays_d, nears, fars,
-                                 perturb_seed=None, stats=None,
-                                 skip_field=None) -> RenderResult:
-    """Multi-chip host-looped render (see render_rays_hostloop).
-
-    rays are globally [N]; each device owns N/D contiguous rays. Each
-    chunk-round is one shard_mapped MERGED program (march+eval+composite)
-    whose static eval bucket comes from the previous round's MAX
-    per-device count, so every shard runs the same shapes (SPMD); each
-    shard freezes rays at ITS OWN bucket boundary (local emission ranks —
-    no collectives), and any shard freezing escalates the shared next
-    bucket. Chunks run as
-    lockstep WAVES with ONE concatenated [(chunks)*3*D] count readback
-    per wave — the same RTT batching as the single-device loop.
-    """
-    import numpy as _np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    s = rounds.s
-    mesh = rounds.mesh
-    axis = rounds.axis
-    d_cnt = rounds.n_dev
-    sh_r = NamedSharding(mesh, P(axis))
-    sh_c = NamedSharding(mesh, P(None, axis))
-    sh_0 = NamedSharding(mesh, P())
-
-    n_total = rays_o.shape[0]
-    chunk = min(s.ray_chunk, n_total)
-    chunk = max(d_cnt, chunk - chunk % d_cnt)
-    n_local = chunk // d_cnt
-    ladder = _ray_buckets(n_local, s.ray_bucket_set)
-    seed0 = jnp.int32(0) if perturb_seed is None else jnp.asarray(
-        perturb_seed, jnp.int32)
-    max_host_rounds = _max_host_rounds(s)
-
-    params = jax.device_put(params, sh_0)
-    density_grid = jax.device_put(density_grid, sh_0)
-
-    class _Chunk:
-        pass
-
-    states = []
-    for ci, start in enumerate(range(0, n_total, chunk)):
-        end = min(start + chunk, n_total)
-        n = end - start
-        pad = chunk - n
-        o_np = _np.asarray(rays_o[start:end]).T
-        d_np = _np.asarray(rays_d[start:end]).T
-        nr_np = _np.asarray(nears[start:end])
-        fr_np = _np.asarray(fars[start:end])
-        if pad:
-            o_np = _np.pad(o_np, ((0, 0), (0, pad)))
-            d_np = _np.pad(d_np, ((0, 0), (0, pad)), constant_values=1.0)
-            nr_np = _np.pad(nr_np, (0, pad),
-                            constant_values=float(_FLT_MAX))
-            fr_np = _np.pad(fr_np, (0, pad),
-                            constant_values=float(_FLT_MAX))
-        st = _Chunk()
-        st.index, st.n = ci, n
-        st.o_cf = jax.device_put(o_np, sh_c)
-        st.d_cf = jax.device_put(d_np, sh_c)
-        st.nr = jax.device_put(nr_np, sh_r)
-        st.fr_full = jax.device_put(fr_np, sh_r)
-        st.frw = st.fr_full  # shrinks with ray compaction
-        st.w_sum = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        st.depth = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        st.rgb = jax.device_put(_np.zeros((3, chunk), _np.float32), sh_c)
-        st.t = st.nr
-        st.alive = jax.device_put(nr_np < fr_np, sh_r)
-        # LOCAL slot index per shard (composite scatters into the local
-        # accumulator block)
-        st.orig = jax.device_put(
-            _np.tile(_np.arange(n_local, dtype=_np.int32), d_cnt), sh_r)
-        st.n_emit = jax.device_put(_np.zeros(chunk, _np.int32), sh_r)
-        st.shadow = jax.device_put(_np.zeros(chunk, _np.float32), sh_r)
-        st.m = n_local
-        alive_d = (nr_np < fr_np).reshape(d_cnt, n_local).sum(axis=1)
-        st.max_alive = int(alive_d.max())
-        st.total_alive = int(alive_d.sum())
-        st.k_est = -1  # previous round's max per-device sample count
-        st.seed_c = seed0 + jnp.int32((ci * 1315423911) & 0x7FFFFFFF)
-        st.rounds = 0
-        st.pending = None
-        states.append(st)
-
-    has_sf = skip_field is not None
-    if has_sf:
-        skip_field = jax.device_put(skip_field, sh_0)
-
-    # ---- pipelined lockstep waves (see render_rays_hostloop) ------------
-    depth_pipe = 2
-    max_rounds_seen = 0
-    counts_pad = jnp.zeros((3 * d_cnt,), jnp.int32)
-    capped = []
-    for st in states:
-        st.inflight = []
-        st.issued = 0
-        st.done = False
-
-    def _issue(st):
-        if st.inflight:
-            o = st.inflight[-1][2]
-            t, n_emit, shadow = o[0], o[1], o[2]
-            w, dep, rgb, alive = o[3], o[4], o[5], o[6]
-        else:
-            t, n_emit, shadow = st.t, st.n_emit, st.shadow
-            w, dep, rgb, alive = st.w_sum, st.depth, st.rgb, st.alive
-        k_est = st.k_est if st.k_est >= 0 else (-1 if st.issued == 0
-                                                else -2)
-        bucket = _choose_bucket(k_est, s.probes_per_round * st.m,
-                                s.bucket_set)
-        out = rounds.merged(bucket, has_sf)(
-            params, density_grid, skip_field, st.o_cf, st.d_cf, st.frw,
-            t, alive, n_emit, shadow, st.orig, w, dep, rgb,
-            jnp.int32(st.issued), st.seed_c)
-        st.inflight.append((st.issued, bucket, out))
-        st.issued += 1
-
-    tail_depth = 4
-    tail_m_fill = ladder[-1] if len(ladder) > 1 else 0
-    while True:
-        # breadth-first fill; deeper for tail chunks — see
-        # render_rays_hostloop
-        for _depth in range(tail_depth):
-            for st in states:
-                if st.done or len(st.inflight) > _depth:
-                    continue
-                if _depth >= (tail_depth if st.m <= tail_m_fill
-                              else depth_pipe):
-                    continue
-                if st.issued >= max_host_rounds:
-                    if not st.inflight:
-                        st.done = True
-                        capped.append(st)
-                    continue
-                target = min((b for b in ladder if b >= st.max_alive),
-                             default=st.m)
-                if target < st.m:
-                    if st.inflight:
-                        continue  # drain before the shape change
-                    (st.alive, st.t, st.o_cf, st.d_cf, st.frw, st.orig,
-                     st.n_emit, st.shadow) = rounds.compact(target)(
-                        st.alive, st.t, st.o_cf, st.d_cf, st.frw,
-                        st.orig, st.n_emit, st.shadow)
-                    st.m = target
-                _issue(st)
-        readers = [st for st in states if st.inflight]
-        if not readers:
-            break
-
-        # tail chunks read their NEWEST round and retire the whole chain
-        # in one RTT — see render_rays_hostloop
-        for st in readers:
-            st._tail = st.m <= tail_m_fill
-        allc = _concat_counts(
-            tuple(st.inflight[-1 if st._tail else 0][2][-1]
-                  for st in readers)
-            + (counts_pad,) * (len(states) - len(readers)))
-        vals = _np.asarray(allc)[:3 * d_cnt * len(readers)].reshape(
-            len(readers), d_cnt, 3)  # the ONE host sync of the wave
-
-        for i, st in enumerate(readers):
-            if st._tail:
-                ridx, bucket, out = st.inflight[-1]
-                st.inflight = []
-            else:
-                ridx, bucket, out = st.inflight.pop(0)
-            (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
-             _c) = out
-            k_max = int(vals[i, :, 0].max())
-            alive_vec = vals[i, :, 1]
-            frz = int(vals[i, :, 2].max())
-            # bucket-exhaustion freeze escalation (see the single-device
-            # loop): k + frozen is a per-shard demand floor; monotone
-            # while freezing persists so a stale small-bucket retire
-            # cannot downgrade it mid-pipeline
-            st.k_est = (k_max if frz == 0
-                        else max(st.k_est, k_max + frz,
-                                 (bucket or 0) + 1))
-            st.w_sum, st.depth, st.rgb, st.alive = w2, d2, rgb2, alive2
-            st.max_alive = int(alive_vec.max())
-            st.total_alive = int(alive_vec.sum())
-            st.t = t_new
-            st.n_emit = n_emit_new
-            st.shadow = shadow_new
-            st.rounds = ridx + 1
-            max_rounds_seen = max(max_rounds_seen, st.rounds)
-            if stats is not None:
-                stats.setdefault("rounds", []).append(
-                    dict(chunk=st.index, m=st.m, k=k_max, frozen=frz,
-                         max_alive=st.max_alive,
-                         total_alive=st.total_alive))
-            if st.total_alive == 0:
-                st.done = True
-                st.inflight = []
-    if capped:
-        import warnings
-
-        warnings.warn(
-            f"sharded host-loop round cap hit ({max_host_rounds}) on "
-            f"{len(capped)} chunk(s) — frame finalized with live rays",
-            RuntimeWarning)
-
-    out_rgb, out_depth, out_wsum = [], [], []
-    for st in states:
-        rgb_bias, dd = rounds.finalize()(st.w_sum, st.depth, st.nr,
-                                         st.fr_full)
-        out_rgb.append(_np.asarray(st.rgb + rgb_bias[None, :])[:, :st.n])
-        out_depth.append(_np.asarray(dd)[:st.n])
-        out_wsum.append(_np.asarray(st.w_sum)[:st.n])
-
-    rgb = _np.concatenate(out_rgb, axis=1)
-    return RenderResult(rgb=jnp.asarray(rgb.T),
-                        depth=jnp.asarray(_np.concatenate(out_depth)),
-                        weight_sum=jnp.asarray(_np.concatenate(out_wsum)),
-                        n_rounds=jnp.int32(max_rounds_seen))
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "settings"))
 def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
@@ -1612,3 +1212,12 @@ def render_rays(apply_fn: Callable, params, density_grid, rays_o, rays_d,
     wsum = wsum.reshape(-1)[:n]
     return RenderResult(rgb=rgb.T, depth=depth, weight_sum=wsum,
                         n_rounds=jnp.max(rounds))
+
+
+# Host-driven wave schedulers (single-device + sharded) live in
+# nerf_tpu/render/hostloop.py; re-exported here for the public API and
+# existing call sites/tests.
+from nerf_tpu.render.hostloop import (  # noqa: E402
+    render_rays_hostloop,
+    render_rays_hostloop_sharded,
+)

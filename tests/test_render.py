@@ -182,6 +182,46 @@ def test_engine_end_to_end():
     assert np.all((d >= 0) & (d <= 1))
 
 
+def test_demand_profile_planned_frames_identical():
+    """Frame 2+ of an engine run in PLAN mode (hostloop.py demand-profile
+    scheduling: whole segments issued ahead with last frame's buckets)
+    and must equal the reactive frame 1 within round-partition
+    reassociation ULPs (the plan changes bucket schedules = composite
+    round partitioning, the same equivalence class as cap_emit/freeze);
+    a pose change that invalidates every planned demand must still
+    render correctly (freeze + reactive escalation reclaim the drift)."""
+    snap = make_synthetic_snapshot(seed=3, grid_h=32,
+                                   network_config=SMALL_CFG)
+    s = RenderSettings(density_scale=8.0, ray_chunk=128, cap_emit=4,
+                       probes_per_round=16, bucket_set=(64, 256),
+                       ray_bucket_set=(128, 32))
+    eng = NerfRender(settings=s)
+    eng.load_from_snapshot(snap)
+    eng.set_resolution((24, 24))
+    r1 = eng.render_frame_arrays(CAM, NERF_POSE)   # reactive (no plan)
+    r2 = eng.render_frame_arrays(CAM, NERF_POSE)   # plan mode
+    r3 = eng.render_frame_arrays(CAM, NERF_POSE)   # converged plan
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(r1, r3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # now a very different pose: the stale plan's buckets/segments are
+    # wrong everywhere — output must still equal a fresh engine's
+    side_pose = np.array([[0, 0, 1, 6], [0, 1, 0, 0], [-1, 0, 0, 0],
+                          [0, 0, 0, 1]], np.float32)
+    r_side = eng.render_frame_arrays(CAM, side_pose)
+    eng_fresh = NerfRender(settings=s)
+    eng_fresh.load_from_snapshot(snap)
+    eng_fresh.set_resolution((24, 24))
+    r_ref = eng_fresh.render_frame_arrays(CAM, side_pose)
+    for a, b in zip(r_side, r_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_engine_sharded_matches_single():
     if len(jax.devices()) < 4:
         pytest.skip("needs multi-device CPU mesh")
@@ -470,6 +510,27 @@ def test_skip_field_extension_preserves_emissions():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(skip.depth),
                                np.asarray(base.depth), rtol=1e-5, atol=1e-6)
+
+    # chained balls (pass 4 chain: per-ball df re-gather + free-ball
+    # walk) preserve the emission set too, in at most as many rounds
+    s_chain = dataclasses.replace(s1, probes_per_round=8, extend_steps=8,
+                                  chain_balls=4, chain_steps=6)
+    s_plain = dataclasses.replace(s_chain, chain_balls=0, extend_steps=0)
+    chain_stats, plain_stats = {}, {}
+    chain = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                 nears, fars, s_chain, stats=chain_stats,
+                                 skip_field=sf)
+    plain = render_rays_hostloop(apply_cf, params, grid, rays_o, rays_d,
+                                 nears, fars, s_plain, stats=plain_stats,
+                                 skip_field=sf)
+    assert (sum(r["k"] for r in chain_stats["rounds"])
+            == sum(r["k"] for r in plain_stats["rounds"]))
+    assert len(chain_stats["rounds"]) < len(plain_stats["rounds"])
+    np.testing.assert_allclose(np.asarray(chain.rgb), np.asarray(plain.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chain.depth),
+                               np.asarray(plain.depth), rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_packed_skip_rows_bit_identical():
