@@ -8,10 +8,10 @@ renders such snapshots correctly but needs 8 corner gathers per
 is brick-parameterized. This module resamples a trained tcnn table into
 TpuGrid rows so foreign snapshots get the fast path.
 
-Exactness: a TpuGrid row for brick b stores the 3x3x3 cell neighborhood
-2b+{0,1,2}; both encodings quantize positions identically
+Exactness: a TpuGrid row for brick b stores the (brick_w+1)^3 cell
+neighborhood w*b+{0..w}; both encodings quantize positions identically
 (pos = x*scale + 0.5, cell = floor — grid.h pos_fract), so filling
-row[b][c] with the tcnn value of absolute cell 2b+c reproduces tcnn's
+row[b][c] with the tcnn value of absolute cell w*b+c reproduces tcnn's
 trilerp EXACTLY for every sample in brick b. Two approximations remain:
   1. TpuGrid brick-hash collisions (fine levels): colliding bricks'
      neighborhoods are AVERAGED; the returned stats quantify how many
@@ -28,7 +28,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from nerf_tpu.encodings.hashgrid import GridEncoding, _PRIMES
-from nerf_tpu.encodings.tpugrid import TpuGridEncoding, _N_NEIGHBORHOOD
+from nerf_tpu.encodings.tpugrid import TpuGridEncoding
 
 
 def _tcnn_rows_for_cells(enc: GridEncoding, lvl: int,
@@ -62,7 +62,7 @@ def _tcnn_rows_for_cells(enc: GridEncoding, lvl: int,
 
 def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
                      density_thresh: float, bound: float,
-                     scale: float, nb: int,
+                     scale: float, nb: int, brick_w: int = 2,
                      max_bricks: int = 0) -> np.ndarray:
     """Brick coords [K, 3] (int) of one TpuGrid level whose cells can be
     touched by samples inside occupied occupancy-grid cells.
@@ -98,8 +98,9 @@ def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
             / (2.0 * bound) + 0.5
         cell_lo = np.floor(lo01 * scale + 0.5).astype(np.int64)
         cell_hi = np.floor(hi01 * scale + 0.5).astype(np.int64) + 1
-        brick_lo_all = np.maximum(cell_lo >> 1, 0)
-        brick_hi_all = np.minimum(cell_hi >> 1, nb - 1)
+        shift = brick_w.bit_length() - 1
+        brick_lo_all = np.maximum(cell_lo >> shift, 0)
+        brick_hi_all = np.minimum(cell_hi >> shift, nb - 1)
         span = int((brick_hi_all - brick_lo_all).max()) + 1
         offs = np.arange(span)
         block = max(1024, int(32e6 // (span ** 3)))
@@ -156,12 +157,16 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
     F = tpu_enc.n_features_per_level
     table = np.asarray(tcnn_params, np.float32).reshape(
         tcnn_enc.total_entries, F)
-    acc = np.zeros((tpu_enc.total_rows, _N_NEIGHBORHOOD, F), np.float64)
+    ncells = tpu_enc.ncells
+    bw = tpu_enc.brick_w
+    nbs = tpu_enc.nb_side
+    acc = np.zeros((tpu_enc.total_rows, ncells, F), np.float64)
     cnt = np.zeros((tpu_enc.total_rows,), np.int64)
     stats = {"levels": []}
 
-    nbh = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
-                               indexing="ij"), axis=-1).reshape(27, 3)
+    nbh = np.stack(np.meshgrid(np.arange(nbs), np.arange(nbs),
+                               np.arange(nbs), indexing="ij"),
+                   axis=-1).reshape(ncells, 3)
 
     for lvl in range(tpu_enc.n_levels):
         nb = int(tpu_enc._nbricks[lvl])
@@ -179,7 +184,7 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
                     "the converted brick set")
             bricks = _occupied_bricks(
                 np.asarray(density_grid), grid_h, cascade, density_thresh,
-                bound, float(tpu_enc._scales[lvl]), nb,
+                bound, float(tpu_enc._scales[lvl]), nb, brick_w=bw,
                 max_bricks=max_bricks_per_level)
         if len(bricks) == 0:
             stats["levels"].append(dict(level=lvl, bricks=0, rows=rows_lvl,
@@ -196,10 +201,10 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
                        * np.uint32(_PRIMES[2]))) & np.uint32(rows_lvl - 1)
             rloc = rloc.astype(np.int64)
         rows = rloc + off_lvl
-        # neighborhood cell coords [K, 27, 3] -> tcnn values
-        cells = (bricks[:, None, :] * 2 + nbh[None, :, :]).reshape(-1, 3)
+        # neighborhood cell coords [K, ncells, 3] -> tcnn values
+        cells = (bricks[:, None, :] * bw + nbh[None, :, :]).reshape(-1, 3)
         tr = _tcnn_rows_for_cells(tcnn_enc, lvl, cells)
-        vals = table[tr].reshape(len(bricks), _N_NEIGHBORHOOD, F)
+        vals = table[tr].reshape(len(bricks), ncells, F)
         np.add.at(acc, rows, vals)
         np.add.at(cnt, rows, 1)
         row_cnt = cnt[off_lvl:off_lvl + rows_lvl]

@@ -16,12 +16,21 @@ Why a different layout (measured on v5e, see bench_gather.py + BASELINE.md):
   16 levels x 8 corners = 128 descriptors per sample; at 125M/s that caps
   encoding at ~1M samples/s/chip no matter how good the kernel is.
 
-Design: per level, space is tiled into 2x2x2-cell BRICKS; each table row
-stores the brick's full 3x3x3 cell NEIGHBORHOOD (27 cells), so the 8
-trilinear corners of ANY sample inside the brick live in ONE row — one
-descriptor per (sample, level) instead of eight. 16 descriptors/sample
-total: ~8x fewer. Corner extraction from the fetched row is 38 VPU selects
-(factorized per axis), then a standard trilerp.
+Design: per level, space is tiled into brick_w^3-cell BRICKS (brick_w in
+{2, 4}); each table row stores the brick's full (brick_w+1)^3 cell
+NEIGHBORHOOD (27 or 125 cells), so the 8 trilinear corners of ANY sample
+inside the brick live in ONE row — one descriptor per (sample, level)
+instead of eight. 16 descriptors/sample total: ~8x fewer. Corner
+extraction from the fetched row is a factorized per-axis weight outer
+product, then a standard trilerp (a weight-dot over the row).
+
+Brick size trade (scripts/bench_brick4.py, BASELINE r4): the 2^3 brick
+is the SPEED flagship (27-u32 rows padded to 64; 7.7M samples/s) but
+only ~0.30x of its stored cells are unique (boundary cells duplicate
+across up to 8 adjacent bricks). The 4^3 brick (125-u32 rows padded to
+128, the other w-sweet-spot) raises unique cells to ~0.51x — 1.7x the
+capacity at equal parameter count — for a measured 1.58x per-sample
+cost; it is the QUALITY configuration (config key "brick_w": 4).
 
 Trade-off vs tcnn: boundary cells are not shared between adjacent bricks
 (each row owns its neighborhood), so the parameterization is brick-local —
@@ -52,11 +61,12 @@ from nerf_tpu.encodings.base import Encoding
 # tcnn fast_hash primes (grid.h:90), applied to brick coords
 _PRIMES = (1, 2654435761, 805459861)
 
-_N_NEIGHBORHOOD = 27  # 3^3 cells
+_N_NEIGHBORHOOD = 27  # 3^3 cells (brick_w=2; kept for external callers)
 
 # measured on v5e (bench_gather.py): slice-16 gathers run 142M rows/s,
-# slice-32 collapses to 26M rows/s, slice-64 runs 88M rows/s; the 27-u32
-# neighborhood row is padded to whichever width measures fastest
+# slice-32 collapses to 26M rows/s, slice-64 runs 88M rows/s and
+# slice-128 88M rows/s; neighborhood rows are padded to the nearest
+# sweet-spot width (64 for 27-cell rows, 128 for 125-cell rows)
 _FAST_ROW_U32 = 64
 
 
@@ -65,6 +75,12 @@ class TpuGridEncoding(Encoding):
         if n_dims != 3:
             raise ValueError("TpuGrid supports 3-D inputs")
         self.n_dims = 3
+        self.brick_w = int(config.get("brick_w", 2))
+        if self.brick_w not in (2, 4):
+            raise ValueError(f"brick_w must be 2 or 4: {self.brick_w}")
+        self.nb_side = self.brick_w + 1          # neighborhood side
+        self.ncells = self.nb_side ** 3          # cells per row (27 / 125)
+        self._shift = self.brick_w.bit_length() - 1  # log2(brick_w)
         self.n_features_per_level = int(config.get("n_features_per_level", 2))
         if config.get("n_features", 0):
             self.n_levels = (int(config["n_features"])
@@ -74,12 +90,14 @@ class TpuGridEncoding(Encoding):
         self.base_resolution = int(config.get("base_resolution", 16))
         self.per_level_scale = float(config.get("per_level_scale", 2.0))
         # parameter budget: default matches tcnn's 2^log2_T entries * F
-        # params/level (27 cells/row => rows ~ entries/27, rounded to pow2)
+        # params/level (ncells/row => rows ~ entries/ncells, rounded to
+        # pow2: -5 for 27-cell rows, -7 for 125-cell rows)
         if "log2_rows" in config:
             self.log2_rows = int(config["log2_rows"])
         else:
             log2_t = int(config.get("log2_hashmap_size", 19))
-            self.log2_rows = max(4, log2_t - 5)
+            self.log2_rows = max(4, log2_t - (5 if self.brick_w == 2
+                                              else 7))
         # packed bf16-pair gathers (inference); f32 rows when False (training)
         self.packed_gather = bool(config.get("packed_gather", True))
         # inference row storage: "bf16" (F in {2,4}; 27F/2 u32, padded to
@@ -89,6 +107,8 @@ class TpuGridEncoding(Encoding):
         self.row_quant = str(config.get("row_quant", "bf16")).lower()
         if self.row_quant not in ("bf16", "int8"):
             raise ValueError(f"row_quant must be bf16|int8: {self.row_quant}")
+        if self.row_quant == "int8" and self.brick_w != 2:
+            raise ValueError("int8 rows support brick_w=2 only")
 
         self.n_output_dims = self.n_levels * self.n_features_per_level
         self.alignment = max(1, int(alignment))
@@ -106,7 +126,8 @@ class TpuGridEncoding(Encoding):
                           * np.float32(self.base_resolution)
                           - np.float32(1.0))
             res = int(np.ceil(np.float32(scale))) + 1
-            nb = (res - 1) // 2 + 1  # bricks per dim (cells [0, res-1])
+            # bricks per dim (cells [0, res-1])
+            nb = (res - 1) // self.brick_w + 1
             if nb ** 3 <= max_rows:
                 r, is_dense = nb ** 3, True
             else:
@@ -123,7 +144,12 @@ class TpuGridEncoding(Encoding):
         self._dense = np.asarray(dense, bool)
         self._nbricks = np.asarray(nbricks, np.uint32)
         self.total_rows = off
-        self._n_params = off * _N_NEIGHBORHOOD * self.n_features_per_level
+        self._n_params = off * self.ncells * self.n_features_per_level
+        # packed-row pad width: the nearest measured gather sweet spot
+        pairs = self.ncells * (self.n_features_per_level // 2 or 1)
+        self._row_pad = 64
+        while self._row_pad < pairs:
+            self._row_pad *= 2
 
     @property
     def n_params(self) -> int:
@@ -138,20 +164,22 @@ class TpuGridEncoding(Encoding):
 
     def _share_keys(self, lvl: int) -> np.ndarray:
         """Absolute-cell key per (row, neighborhood-slot) of one DENSE
-        level — int32 [rows_lvl * 27]. Adjacent bricks' 3^3 neighborhoods
-        overlap (brick b's cells 2b..2b+2 share plane 2b+2 with brick
+        level — int32 [rows_lvl * ncells]. Adjacent bricks' neighborhoods
+        overlap (brick b's cells w*b..w*b+w share plane w*b+w with brick
         b+1), so a spatial cell is stored in up to 8 rows; the key maps
         every duplicate to one id."""
+        w = self.brick_w
+        nbs = self.nb_side
         nb = int(self._nbricks[lvl])
         b = np.arange(nb ** 3, dtype=np.int64)
         bx, by, bz = b // (nb * nb), (b // nb) % nb, b % nb
-        offs = np.stack(np.meshgrid(np.arange(3), np.arange(3),
-                                    np.arange(3), indexing="ij"),
-                        axis=-1).reshape(27, 3)
-        ncell = 2 * nb + 1
-        cx = bx[:, None] * 2 + offs[None, :, 0]
-        cy = by[:, None] * 2 + offs[None, :, 1]
-        cz = bz[:, None] * 2 + offs[None, :, 2]
+        offs = np.stack(np.meshgrid(np.arange(nbs), np.arange(nbs),
+                                    np.arange(nbs), indexing="ij"),
+                        axis=-1).reshape(self.ncells, 3)
+        ncell = w * nb + 1
+        cx = bx[:, None] * w + offs[None, :, 0]
+        cy = by[:, None] * w + offs[None, :, 1]
+        cz = bz[:, None] * w + offs[None, :, 2]
         return ((cx * ncell + cy) * ncell + cz).reshape(-1) \
             .astype(np.int32)
 
@@ -164,21 +192,21 @@ class TpuGridEncoding(Encoding):
         during training (the soft version is the brick_consistency_loss
         regularizer)."""
         F = self.n_features_per_level
-        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
+        table = params.reshape(self.total_rows, self.ncells, F)
         for lvl in range(self.n_levels):
             if not self._dense[lvl] or int(self._nbricks[lvl]) < 2:
                 continue
             off = int(self._offsets[lvl])
             rows_lvl = int(self._rows[lvl])
             keys = jnp.asarray(self._share_keys(lvl))
-            nseg = (2 * int(self._nbricks[lvl]) + 1) ** 3
+            nseg = (self.brick_w * int(self._nbricks[lvl]) + 1) ** 3
             sl = table[off:off + rows_lvl].reshape(-1, F)
             s = jax.ops.segment_sum(sl, keys, num_segments=nseg)
             c = jax.ops.segment_sum(jnp.ones((sl.shape[0],), jnp.float32),
                                     keys, num_segments=nseg)
             mean = s / jnp.maximum(c, 1.0)[:, None]
             table = table.at[off:off + rows_lvl].set(
-                mean[keys].reshape(rows_lvl, _N_NEIGHBORHOOD, F))
+                mean[keys].reshape(rows_lvl, self.ncells, F))
         return table.reshape(-1)
 
     def prepare_params(self, params):
@@ -206,15 +234,15 @@ class TpuGridEncoding(Encoding):
         17..63 hit a v5e gather cliff at 16-32M rows/s while 64 runs
         88M rows/s — bench_gather.py / BASELINE.md)."""
         F = self.n_features_per_level
-        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
+        table = params.reshape(self.total_rows, self.ncells, F)
         if F == 2:
             ptable = self._bf16_pair(table[..., 0], table[..., 1])
         else:  # F == 4: u32[2i] = (f0,f1), u32[2i+1] = (f2,f3)
             even = self._bf16_pair(table[..., 0], table[..., 1])
             odd = self._bf16_pair(table[..., 2], table[..., 3])
             ptable = jnp.stack([even, odd], axis=-1).reshape(
-                self.total_rows, 2 * _N_NEIGHBORHOOD)
-        pad = _FAST_ROW_U32 - ptable.shape[1]
+                self.total_rows, 2 * self.ncells)
+        pad = self._row_pad - ptable.shape[1]
         return jnp.pad(ptable, ((0, 0), (0, pad)))
 
     _INT8_ROW_U32 = 16
@@ -225,13 +253,13 @@ class TpuGridEncoding(Encoding):
         2 pad bytes), the per-row bf16 dequant scale in u32 14, pad in 15.
         Quantization uses the bf16-rounded scale so dequant is exact."""
         F = self.n_features_per_level
-        v = params.reshape(self.total_rows, _N_NEIGHBORHOOD * F)
+        v = params.reshape(self.total_rows, self.ncells * F)
         amax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
         scale_b = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.bfloat16)
         scale = scale_b.astype(jnp.float32)
         q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int32)
         qb = (q & 0xFF).astype(jnp.uint32)              # [R, 54] bytes
-        qb = jnp.pad(qb, ((0, 0), (0, 56 - _N_NEIGHBORHOOD * F)))
+        qb = jnp.pad(qb, ((0, 0), (0, 56 - self.ncells * F)))
         qb = qb.reshape(self.total_rows, 14, 4)
         words = (qb[..., 0] | (qb[..., 1] << 8) | (qb[..., 2] << 16)
                  | (qb[..., 3] << 24))                  # [R, 14]
@@ -251,8 +279,8 @@ class TpuGridEncoding(Encoding):
         cell_f = jnp.floor(pos)
         frac = pos - cell_f
         cell = jnp.maximum(cell_f, 0.0).astype(jnp.uint32)
-        brick = cell >> jnp.uint32(1)
-        off = cell & jnp.uint32(1)
+        brick = cell >> jnp.uint32(self._shift)
+        off = cell & jnp.uint32(self.brick_w - 1)
         if self._dense[lvl]:
             nb = jnp.uint32(self._nbricks[lvl])
             row = (brick[0] * nb + brick[1]) * nb + brick[2]
@@ -263,13 +291,13 @@ class TpuGridEncoding(Encoding):
             row = row & jnp.uint32(self._rows[lvl] - 1)  # rows are pow2
         return row + jnp.uint32(self._offsets[lvl]), off, frac
 
-    @staticmethod
-    def _axis_weights(off_d, frac_d):
-        """Per-axis trilinear weights over the 3 neighborhood positions.
+    def _axis_weights(self, off_d, frac_d):
+        """Per-axis trilinear weights over the nb_side neighborhood
+        positions.
 
-        off_d [B] in {0,1}, frac_d [B] -> [B, 3] with weight (1-f) at
-        position off, f at off+1, 0 elsewhere."""
-        i = jnp.arange(3, dtype=jnp.uint32)[None, :]
+        off_d [B] in {0..brick_w-1}, frac_d [B] -> [B, nb_side] with
+        weight (1-f) at position off, f at off+1, 0 elsewhere."""
+        i = jnp.arange(self.nb_side, dtype=jnp.uint32)[None, :]
         o = off_d[:, None]
         f = frac_d[:, None].astype(jnp.float32)
         return jnp.where(i == o, 1.0 - f, jnp.where(i == o + 1, f, 0.0))
@@ -295,7 +323,7 @@ class TpuGridEncoding(Encoding):
             ptable = self._pack_table(params)
         else:
             ftable = params.reshape(self.total_rows,
-                                    _N_NEIGHBORHOOD * F)
+                                    self.ncells * F)
 
         outs = []
         for lvl in range(self.n_levels):
@@ -304,7 +332,7 @@ class TpuGridEncoding(Encoding):
             wy = self._axis_weights(off[1], frac[1])
             wz = self._axis_weights(off[2], frac[2])
             w27 = (wx[:, :, None, None] * wy[:, None, :, None]
-                   * wz[:, None, None, :]).reshape(-1, _N_NEIGHBORHOOD)
+                   * wz[:, None, None, :]).reshape(-1, self.ncells)
 
             def _lo(u):
                 return jax.lax.bitcast_convert_type(u << jnp.uint32(16),
@@ -319,7 +347,7 @@ class TpuGridEncoding(Encoding):
                 u = g[:, :14]
                 qb = jnp.stack([(u >> jnp.uint32(sh)) & jnp.uint32(0xFF)
                                 for sh in (0, 8, 16, 24)], axis=-1)
-                qb = qb.reshape(-1, 56)[:, :_N_NEIGHBORHOOD * 2]
+                qb = qb.reshape(-1, 56)[:, :self.ncells * 2]
                 qi = qb.astype(jnp.int32)
                 qi = qi - ((qi >> 7) << 8)            # sign-extend int8
                 scale = jax.lax.bitcast_convert_type(
@@ -331,16 +359,16 @@ class TpuGridEncoding(Encoding):
             elif packed:
                 g = ptable[row]                       # ONE descriptor/sample
                 if F == 2:
-                    planes = [_lo(g[:, :_N_NEIGHBORHOOD]),
-                              _hi(g[:, :_N_NEIGHBORHOOD])]
+                    planes = [_lo(g[:, :self.ncells]),
+                              _hi(g[:, :self.ncells])]
                 else:  # F == 4
-                    even = g[:, 0:2 * _N_NEIGHBORHOOD:2]
-                    odd = g[:, 1:2 * _N_NEIGHBORHOOD:2]
+                    even = g[:, 0:2 * self.ncells:2]
+                    odd = g[:, 1:2 * self.ncells:2]
                     planes = [_lo(even), _hi(even), _lo(odd), _hi(odd)]
                 for plane in planes:
                     outs.append(jnp.sum(w27 * plane, axis=1))
             else:
-                g = ftable[row].reshape(-1, _N_NEIGHBORHOOD, F)
+                g = ftable[row].reshape(-1, self.ncells, F)
                 r = jnp.sum(w27[:, :, None] * g.astype(jnp.float32), axis=1)
                 for f in range(F):
                     outs.append(r[:, f])
@@ -369,13 +397,15 @@ class TpuGridEncoding(Encoding):
         stochastically. f32 (training) params only.
         """
         F = self.n_features_per_level
-        table = params.reshape(self.total_rows, _N_NEIGHBORHOOD, F)
-        # neighborhood index (cx*3+cy)*3+cz; face planes per axis:
+        nbs = self.nb_side
+        table = params.reshape(self.total_rows, self.ncells, F)
+        # neighborhood index (cx*nbs+cy)*nbs+cz; face planes per axis:
         planes = []
-        idx3 = np.arange(27).reshape(3, 3, 3)
+        idx3 = np.arange(self.ncells).reshape(nbs, nbs, nbs)
         for ax in range(3):
-            hi = np.take(idx3, 2, axis=ax).reshape(-1)  # this brick's face
-            lo = np.take(idx3, 0, axis=ax).reshape(-1)  # neighbor's entry
+            # this brick's face plane vs the +axis neighbor's entry plane
+            hi = np.take(idx3, nbs - 1, axis=ax).reshape(-1)
+            lo = np.take(idx3, 0, axis=ax).reshape(-1)
             planes.append((jnp.asarray(hi), jnp.asarray(lo)))
 
         total = jnp.float32(0.0)

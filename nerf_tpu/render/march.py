@@ -420,9 +420,15 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     the reference's skip-shadow recurrence (tt with the H-1 overshoot
     quirk) is replayed arithmetically over the adopted steps so
     empty->occupied transitions after the extension mask emissions
-    exactly as the do-while would. Requires cascade == 1: the emptiness
-    ball lives in one mip's grid, and a skipped lattice point under
-    multiple cascades could have been tested against a different mip.
+    exactly as the do-while would. Under cascade > 1 each ball lives in
+    ITS probe's mip (the field stores one chebyshev slab per mip) and
+    adoption additionally requires the step's own mip_from_pos level to
+    equal the ball's — a skipped lattice point is therefore always one
+    the no-skip march would have probed against the same, provably-empty
+    mip slab (VERDICT r3 item 5). After the extension, up to
+    s.chain_balls CHAINED balls each re-gather the field at the advanced
+    position (ONE [m] descriptor per ball vs P*[m] for a probe pass) and
+    walk up to s.chain_steps more points.
 
     bucket (optional int): static per-chunk emission budget for the round
     — see pass 3. None = unlimited (the all-lanes eval never overflows).
@@ -454,7 +460,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             * jax.random.uniform(key, t.shape)
 
     # ---- pass 1: trajectory, voxel ids, skip boundaries (unrolled) ----
-    ts, dts_l, xs_l, idx_l, tt_l = [], [], [], [], []
+    ts, dts_l, xs_l, idx_l, tt_l, lvl_l = [], [], [], [], [], []
     tk = t
     for _ in range(P):
         dt_k = jnp.clip(tk * dt_gamma, dt_min, dt_max)
@@ -482,6 +488,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         xs_l.append(x)
         idx_l.append(idx)
         tt_l.append(tt)
+        lvl_l.append(level)
         tk = tk + dt_k
     t_new = jnp.where(alive, tk, t)
 
@@ -602,29 +609,40 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     # non-frozen ray t_new is the ray's next unvisited lattice point, so
     # each ball starts the fold there per ray; a ray adopting no step
     # simply stays (its t_new never moves).
-    if (skip_field is not None and s.cascade == 1
+    #
+    # cascade > 1 (VERDICT r3 item 5): the field stores one chebyshev
+    # slab PER MIP and a ball proves emptiness only within its own mip's
+    # grid, so adoption additionally requires the step's OWN mip
+    # (mip_from_pos, the same level the no-skip march would probe) to
+    # equal the ball's mip; a ray crossing a mip boundary stops
+    # extending and the next probe pass takes over — conservative, so
+    # the emission set stays exactly that of the no-skip march.
+    if (skip_field is not None
             and (s.extend_steps > 0 or s.chain_balls > 0)):
 
-        def ball_pass(t_cur, sh, ok, cell_c, radius, steps):
+        def ball_pass(t_cur, sh, ok, cell_c, radius, steps, mip_bound_c,
+                      level_c):
             """Walk up to `steps` fold points from each ray's t_cur,
-            adopting while |cell - cell_c|_inf <= radius (all such cells
-            are empty by construction of the field); the skip-shadow
-            recurrence (render_utils.h:641-651 semantics, with the H-1
-            overshoot quirk) is replayed arithmetically over adopted
-            points. Returns (t_cur', sh')."""
+            adopting while |cell - cell_c|_inf <= radius in the ball's
+            mip (all such cells are empty by construction of the field);
+            the skip-shadow recurrence (render_utils.h:641-651 semantics,
+            with the H-1 overshoot quirk) is replayed arithmetically over
+            adopted points. Returns (t_cur', sh')."""
             adopted = ok
             tk2 = t_cur
             t_out = t_cur
             for _ in range(steps):
                 x = jnp.clip(rays_o + tk2[None, :] * rays_d, -bound,
                              bound)
-                cell = jnp.clip(0.5 * (x / bound + 1.0) * h,
+                cell = jnp.clip(0.5 * (x / mip_bound_c[None, :] + 1.0) * h,
                                 0.0, float(h - 1)).astype(jnp.int32)
                 inside = jnp.max(jnp.abs(cell - cell_c), axis=0) <= radius
+                if level_c is not None:
+                    inside = inside & (_mip_level(x, s.cascade) == level_c)
                 adopted = adopted & inside & (tk2 < far)
                 dt_k = jnp.clip(tk2 * dt_gamma, dt_min, dt_max)
                 bnd = ((cell.astype(jnp.float32) + 0.5 + 0.5 * sgn)
-                       / float(h - 1) * 2.0 - 1.0) * bound
+                       / float(h - 1) * 2.0 - 1.0) * mip_bound_c[None, :]
                 t_axes = (bnd - x) * rd_inv
                 tt = tk2 + jnp.maximum(0.0, jnp.min(t_axes, axis=0))
                 sh = jnp.where(adopted & (tk2 >= sh), tt, sh)
@@ -632,22 +650,39 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
                 t_out = jnp.where(adopted, tk2, t_out)
             return t_out, sh
 
+        def mip_of(level):
+            if level is None:
+                return jnp.broadcast_to(bound, (m,)), None
+            mb = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+            return mb, level
+
         live_ext = alive & ~frozen
         if s.extend_steps > 0:
             last = P - 1
             # cell of the last gathered probe (recompute from its
-            # position — cascade==1 so mip_bound == bound)
+            # position in ITS mip)
             x_last = xs_l[last]
-            cell_last = jnp.clip(0.5 * (x_last / bound + 1.0) * h,
-                                 0.0, float(h - 1)).astype(jnp.int32)
+            mb_last, lv_last = mip_of(lvl_l[last])
+            cell_last = jnp.clip(0.5 * (x_last / mb_last[None, :] + 1.0)
+                                 * h, 0.0, float(h - 1)).astype(jnp.int32)
             ok0 = live_ext & (df_all[last] >= 2)
             t_new, shadow = ball_pass(t_new, shadow, ok0, cell_last,
-                                      df_all[last] - 1, s.extend_steps)
+                                      df_all[last] - 1, s.extend_steps,
+                                      mb_last, lv_last)
         for _b in range(s.chain_balls):
             xc = jnp.clip(rays_o + t_new[None, :] * rays_d, -bound, bound)
-            cellc = jnp.clip(0.5 * (xc / bound + 1.0) * h,
+            if s.cascade > 1:
+                lvc = _mip_level(xc, s.cascade)
+                mbc = jnp.minimum(jnp.exp2(lvc.astype(jnp.float32)),
+                                  bound)
+            else:
+                lvc = None
+                mbc = jnp.broadcast_to(bound, (m,))
+            cellc = jnp.clip(0.5 * (xc / mbc[None, :] + 1.0) * h,
                              0.0, float(h - 1)).astype(jnp.int32)
             idxc = cellc[0] * (h * h) + cellc[1] * h + cellc[2]
+            if lvc is not None:
+                idxc = idxc + lvc * (h * h * h)
             dfc = _skip_lookup(skip_field, idxc)
             # df >= 1 suffices here: the ball is centered on the ray's
             # OWN next cell, so radius 0 still adopts same-cell points.
@@ -656,7 +691,7 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
             # for the next probe pass to emit it.
             okc = live_ext & (dfc >= 1) & (t_new < far)
             t_new, shadow = ball_pass(t_new, shadow, okc, cellc,
-                                      dfc - 1, s.chain_steps)
+                                      dfc - 1, s.chain_steps, mbc, lvc)
 
     if want_slots:
         return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b,

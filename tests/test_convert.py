@@ -39,6 +39,25 @@ def test_dense_conversion_exact():
     assert all(L["collided_rows"] == 0 for L in stats["levels"])
 
 
+def test_dense_conversion_exact_brick4():
+    """Dense-level exactness holds for the 4^3-brick quality rows too
+    (the converter fills w*b+{0..w} neighborhoods generically)."""
+    tc = GridEncoding(3, CFG)
+    tcnn_params = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(0), (tc.n_params,), jnp.float32))
+    tpu = TpuGridEncoding(3, dict(n_levels=6, n_features_per_level=2,
+                                  log2_rows=18, base_resolution=16,
+                                  per_level_scale=1.5, brick_w=4,
+                                  packed_gather=False))
+    assert all(tpu._dense)
+    params, stats = tcnn_to_tpugrid(tc, tcnn_params, tpu)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 1024), jnp.float32)
+    a = np.asarray(tc.apply_cf(jnp.asarray(tcnn_params), x))
+    b = np.asarray(tpu.apply_cf(jnp.asarray(params), x))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+    assert all(L["collided_rows"] == 0 for L in stats["levels"])
+
+
 def test_hashed_conversion_covers_occupied_samples():
     """With collisions, occupied-region samples must still round-trip:
     collision-free rows exactly, collided rows as brick averages (finite,

@@ -19,11 +19,17 @@ HASHED_CFG = {"otype": "TpuGrid", "n_levels": 6, "n_features_per_level": 2,
 # log2_rows 12 makes the coarse levels dense (8^3=512 bricks <= 4096 rows)
 MIXED_CFG = {"otype": "TpuGrid", "n_levels": 6, "n_features_per_level": 2,
              "log2_rows": 12, "base_resolution": 16, "per_level_scale": 1.5}
+# 4^3-brick quality configuration (125-cell rows, scripts/bench_brick4.py)
+BRICK4_CFG = {"otype": "TpuGrid", "n_levels": 6, "n_features_per_level": 2,
+              "log2_rows": 8, "base_resolution": 16, "per_level_scale": 1.5,
+              "brick_w": 4}
 
 
 def _oracle(enc: TpuGridEncoding, params, x_cf):
     F = enc.n_features_per_level
-    tab = np.asarray(params).reshape(enc.total_rows, 27, F)
+    bw, nbs = enc.brick_w, enc.nb_side
+    shift = bw.bit_length() - 1
+    tab = np.asarray(params).reshape(enc.total_rows, enc.ncells, F)
     xn = np.asarray(x_cf)
     B = xn.shape[1]
     out = np.zeros((enc.n_levels * F, B), np.float32)
@@ -33,8 +39,8 @@ def _oracle(enc: TpuGridEncoding, params, x_cf):
         frac = (pos - np.floor(pos)).astype(np.float32)
         for bi in range(B):
             c = cell[:, bi]
-            brick = c >> 1
-            off = c & 1
+            brick = c >> shift
+            off = c & (bw - 1)
             if enc._dense[lvl]:
                 nb = int(enc._nbricks[lvl])
                 row = (brick[0] * nb + brick[1]) * nb + brick[2]
@@ -49,7 +55,7 @@ def _oracle(enc: TpuGridEncoding, params, x_cf):
                 for i in (0, 1):
                     for j in (0, 1):
                         for k in (0, 1):
-                            col = ((off[0] + i) * 9 + (off[1] + j) * 3
+                            col = (((off[0] + i) * nbs + off[1] + j) * nbs
                                    + off[2] + k)
                             w = ((frac[0, bi] if i else 1 - frac[0, bi])
                                  * (frac[1, bi] if j else 1 - frac[1, bi])
@@ -59,7 +65,7 @@ def _oracle(enc: TpuGridEncoding, params, x_cf):
     return out
 
 
-@pytest.mark.parametrize("cfg", [HASHED_CFG, MIXED_CFG])
+@pytest.mark.parametrize("cfg", [HASHED_CFG, MIXED_CFG, BRICK4_CFG])
 def test_matches_numpy_oracle(cfg):
     enc = create_encoding(3, cfg)
     assert isinstance(enc, TpuGridEncoding)
@@ -73,8 +79,9 @@ def test_matches_numpy_oracle(cfg):
                                atol=2e-5)
 
 
-def test_packed_matches_unpacked():
-    enc = create_encoding(3, HASHED_CFG)
+@pytest.mark.parametrize("cfg", [HASHED_CFG, BRICK4_CFG])
+def test_packed_matches_unpacked(cfg):
+    enc = create_encoding(3, cfg)
     params = enc.init_params(jax.random.PRNGKey(1)) * 1000.0
     x = jax.random.uniform(jax.random.PRNGKey(2), (3, 97))
     enc.packed_gather = False
