@@ -83,14 +83,25 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 def make_settings(chunk: int, density_scale: float = 25.0):
     """The benchmark RenderSettings — shared with scripts/record_quality
-    so every consumer reuses the same compiled program set."""
+    so every consumer reuses the same compiled program set.
+
+    Round-4 march config (BASELINE r4): width-4 skip rows (196M vs 125M
+    rows/s descriptor rate), P=16 probes + 6 chained free balls per
+    round (the ball chain pays ONE [m] descriptor per ball instead of a
+    P*[m] probe pass), ratio-2 eval-bucket ladder sized by the
+    demand-profile plan (hostloop.py), and a 3-rung ray ladder."""
     from nerf_tpu.core.types import RenderSettings
 
     return RenderSettings(density_scale=density_scale,
-                          probes_per_round=32,
+                          probes_per_round=16,
+                          extend_steps=16,
+                          chain_balls=6,
+                          chain_steps=8,
+                          skip_row_w=4,
                           ray_chunk=chunk,
-                          bucket_set=(32768, 131072, 524288),
-                          ray_bucket_set=(chunk, 16384),
+                          bucket_set=(16384, 32768, 65536, 131072,
+                                      262144),
+                          ray_bucket_set=(chunk, 16384, 4096),
                           cap_emit=8,
                           host_loop=True)
 
@@ -281,15 +292,25 @@ def main():
               file=sys.stderr, flush=True)
         st = (eng.last_stats or {}).get("rounds")
         if st:
+            s_eng = eng.settings
             merged = sum(r.get("merged_s", 0.0) for r in st)
             read = sum(r.get("read_s", 0.0) for r in st)
             n_frz = sum(r.get("frozen", 0) for r in st)
             lane_rounds = sum(r["m"] for r in st)
             alive_rounds = sum(r.get("n_alive_est", r["m"]) for r in st)
+            samples = sum(r["k"] for r in st)
+            probes = sum(r["m"] * (s_eng.probes_per_round
+                                   + s_eng.chain_balls) for r in st)
+            evald = sum((r.get("bucket") or 0) for r in st
+                        if r.get("bucket") is not None)
+            n_reads = (eng.last_stats or {}).get("n_reads", 0)
             print(f"[bench]   phase split (last frame): {len(st)} rounds, "
-                  f"merged-dispatch {merged:.3f}s, reads {read:.3f}s, "
-                  f"frozen-ray rounds {n_frz}, "
-                  f"samples {sum(r['k'] for r in st)}, "
+                  f"{n_reads} reads, merged-dispatch {merged:.3f}s, "
+                  f"reads {read:.3f}s, frozen-ray rounds {n_frz}, "
+                  f"samples {samples}, "
+                  f"probe:sample {probes / max(samples, 1):.1f}, "
+                  f"eval-occupancy {samples}/{evald} "
+                  f"({samples / max(evald, 1):.2f}), "
                   f"lane-occupancy {alive_rounds}/{lane_rounds} "
                   f"({alive_rounds / max(lane_rounds, 1):.2f})",
                   file=sys.stderr, flush=True)

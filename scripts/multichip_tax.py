@@ -1,0 +1,95 @@
+"""Bound the multi-chip scaling tax on a VIRTUAL mesh (VERDICT r3 #9).
+
+The sharded host loop sizes every SPMD eval bucket to the MAX demand
+across shards and escalates when ANY shard freezes
+(render/hostloop.py:_ShardedOps), so per-shard demand imbalance inflates
+eval lanes (D * max_d(k_d) vs sum_d k_d) and can add freeze rounds. No
+multi-chip hardware is available in this environment; this script runs
+the REAL sharded wave scheduler on a D-device virtual CPU mesh
+(xla_force_host_platform_device_count) against D=1, on the committed
+trained sharp scene, and reports the coupling factors the v5e-8
+aggregate projection must include:
+
+  rounds ratio, probe-lane ratio (sum m*P*D), eval-lane ratio
+  (sum bucket*D), frozen totals, and bucket max/sum imbalance.
+
+Writes multichip_tax.json and prints a table.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    import numpy as np
+
+    from bench import make_settings
+    from nerf_tpu.core.types import Camera
+    from nerf_tpu.parallel.mesh import make_mesh
+    from nerf_tpu.render.engine import NerfRender
+
+    snap = os.path.join(REPO, "assets", "sharp_tpugrid.msgpack")
+    w = h = 96
+    cam = Camera(fl_x=w * 1.3875, fl_y=w * 1.3875, cx=w / 2, cy=h / 2)
+    pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
+                     [0, 0, 0, 1]], np.float32)
+
+    results = {}
+    for d in (1, 8):
+        s = dataclasses.replace(
+            make_settings(w * h, density_scale=1.0),
+            ray_bucket_set=(w * h // d, w * h // (4 * d)),
+            bucket_set=tuple(b // d for b in (32768, 131072, 524288)))
+        eng = NerfRender(settings=s, mesh=make_mesh(d))
+        eng.reload_network_from_file(snap)
+        eng.set_resolution((w, h))
+        eng.collect_stats = True
+        frames = []
+        for f in range(2):  # frame 2 runs the demand-profile plan
+            t0 = time.time()
+            rgb, depth, wsum = eng.render_frame_arrays(cam, pose)
+            np.asarray(rgb)
+            rl = eng.last_stats["rounds"]
+            frames.append(dict(
+                rounds=len(rl),
+                reads=eng.last_stats.get("n_reads", 0),
+                probe_lanes=sum(r["m"] * s.probes_per_round * d
+                                for r in rl),
+                eval_lanes=sum((r["bucket"] or 0) * d for r in rl
+                               if r["bucket"] is not None),
+                samples=sum(r["k"] for r in rl),
+                frozen=sum(r["frozen"] for r in rl),
+                wall=round(time.time() - t0, 1),
+            ))
+            frames[-1]["wsum_mean"] = float(np.asarray(wsum).mean())
+        results[f"D{d}"] = frames
+        print(f"D={d}: {frames}", flush=True)
+
+    # coupling factors, steady-state (frame 2)
+    a, b = results["D1"][1], results["D8"][1]
+    tax = {
+        "rounds_ratio": b["rounds"] / max(a["rounds"], 1),
+        "probe_lane_ratio": b["probe_lanes"] / max(a["probe_lanes"], 1),
+        "eval_lane_ratio": b["eval_lanes"] / max(a["eval_lanes"], 1),
+        "frozen_d8_minus_d1": b["frozen"] - a["frozen"],
+        "wsum_delta": abs(b["wsum_mean"] - a["wsum_mean"]),
+    }
+    results["tax"] = tax
+    print(json.dumps(tax, indent=2))
+    with open(os.path.join(REPO, "multichip_tax.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,11 @@ ENCODINGS = {
     "tpugrid": {"otype": "TpuGrid", "n_levels": 16,
                 "n_features_per_level": 2, "log2_hashmap_size": 19,
                 "base_resolution": 16},
+    # 4^3-brick quality rows: ~1.7x unique cells at equal params for a
+    # 1.58x encode cost (scripts/bench_brick4.py, BASELINE r4)
+    "tpugrid4": {"otype": "TpuGrid", "n_levels": 16,
+                 "n_features_per_level": 2, "log2_hashmap_size": 19,
+                 "base_resolution": 16, "brick_w": 4},
     "hashgrid": {"otype": "HashGrid", "n_levels": 16,
                  "n_features_per_level": 2, "log2_hashmap_size": 19,
                  "base_resolution": 16},
