@@ -170,9 +170,14 @@ def _validate(eng, cam, pose, w, h) -> bool:
     rgb, depth, wsum = eng.render_frame_arrays(cam, pose)
     wsum = np.asarray(wsum).reshape(h, w)
     rgb = np.asarray(rgb)
+    # corner threshold 0.02, not 0: trained snapshots can carry faint
+    # residual density ("fog") in barely-observed regions — the 600-step
+    # sharp_hashgrid measures corner wsum ~0.01 while rendering the
+    # scene correctly; the check still catches a broken march/composite
+    # (which floods corners with O(1) weight)
     ok = (np.isfinite(rgb).all()
           and wsum[h // 2, w // 2] > 1e-3
-          and abs(wsum[0, 0]) < 1e-6)
+          and abs(wsum[0, 0]) < 0.02)
     if not ok:
         print(f"[bench] VALIDATION FAILED: center wsum "
               f"{wsum[h // 2, w // 2]:.4f}, corner {wsum[0, 0]:.4f}",

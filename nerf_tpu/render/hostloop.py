@@ -85,11 +85,23 @@ class _Chunk:
     """Per-chunk scheduler state (host-side attribute bag)."""
 
 
-def _plan_from_records(recs, s: RenderSettings):
+def _plan_from_records(recs, s: RenderSettings, ray_ladder):
     """Build the next frame's per-chunk schedule from this frame's
-    retired-round records. Bucket = smallest ladder rung covering 1.10x
+    retired-round records. Bucket = smallest ladder rung covering 1.05x
     the observed demand floor (k + bucket-frozen rays); rounds that
-    emitted nothing plan a free bucket=0 traversal round."""
+    emitted nothing plan a free bucket=0 traversal round.
+
+    The planned working-set trajectory `m` comes from the ALIVE-count
+    trajectory (rung covering the previous round's alive bound), not the
+    m the frame actually ran at — the reactive frame learns alive counts
+    with a pipeline lag and may never compact, and a plan built from its
+    realized m would then have no compaction boundaries at all (the
+    measured failure: an 800x800 plan-mode frame ran every round at
+    m=65536, lane occupancy 0.40). Each m drop becomes a segment
+    boundary where the scheduler pauses for a confirmed count and
+    compacts (hostloop _fill); the plan only places the PAUSE — the
+    compaction target itself always comes from this frame's own
+    count bound, so a stale plan cannot overflow anything."""
     ladder = sorted(s.bucket_set) if s.bucket_set else sorted(_ABS_BUCKETS)
     plan = []
     for rlist in recs:
@@ -100,10 +112,17 @@ def _plan_from_records(recs, s: RenderSettings):
             if demand == 0:
                 b = 0
             else:
-                want = int(demand * 1.10) + 1
+                want = int(demand * 1.05) + 1
                 b = next((sz for sz in ladder if sz >= want), ladder[-1])
             buckets.append(b)
-            ms.append(d["m"])
+            if not ms:
+                pm = d["m"]
+            else:
+                pm = min((rb for rb in ray_ladder if rb >= prev_bound),
+                         default=ms[-1])
+                pm = min(pm, ms[-1])
+            ms.append(pm)
+            prev_bound = d["bound"]
             alive.append(d["alive"])
         plan.append(dict(buckets=buckets, m=ms, alive=alive))
     return plan
@@ -237,6 +256,7 @@ def _run_waves(states, s: RenderSettings, ladder, max_host_rounds, ops,
                 max_rounds_seen = max(max_rounds_seen, st.rounds)
                 recs[st.index].append(dict(r=ridx, bucket=bucket, k=k,
                                            frozen=frz, m=m_at,
+                                           bound=alive_bound,
                                            alive=total_alive))
                 if stats is not None:
                     # pro-rata wave attribution (bench phase split)
@@ -259,7 +279,7 @@ def _run_waves(states, s: RenderSettings, ladder, max_host_rounds, ops,
             "trajectory length)", RuntimeWarning)
 
     if profile is not None:
-        profile["plan"] = _plan_from_records(recs, s)
+        profile["plan"] = _plan_from_records(recs, s, ladder)
     return max_rounds_seen
 
 
