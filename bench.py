@@ -253,75 +253,96 @@ def main():
             print(f"[bench] skipping {name}@{w}: {_remaining():.0f}s left",
                   file=sys.stderr, flush=True)
             break
-        h = w
-        cam = Camera(fl_x=w * 1.3875, fl_y=w * 1.3875, cx=w / 2, cy=h / 2)
-        from_file = isinstance(config, str)
-        if not from_file and name not in snaps:
-            snaps[name] = make_synthetic_snapshot(seed=3, grid_h=128,
-                                                  network_config=config)
-        ekey = (name, chunk)
-        eng = engines.get(ekey)
-        if eng is None:
-            # trained snapshots carry calibrated densities (scale 1)
+        try:
+            _run_attempt(name, config, w, chunk, snaps, engines,
+                         fused_checked)
+        except Exception as e:
+            # attempts are independent: a transient relay/compile fault
+            # in one (measured: remote_compile "response body closed")
+            # must not void the others' records
+            print(f"[bench] attempt {name}@{w} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+
+    _emit()
+
+
+def _run_attempt(name, config, w, chunk, snaps, engines, fused_checked):
+    import numpy as _np  # noqa: F401
+
+    from nerf_tpu.core.snapshot import make_synthetic_snapshot
+    from nerf_tpu.core.types import Camera
+    from nerf_tpu.render.engine import NerfRender
+
+    pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 6],
+                     [0, 0, 0, 1]], np.float32)
+    h = w
+    cam = Camera(fl_x=w * 1.3875, fl_y=w * 1.3875, cx=w / 2, cy=h / 2)
+    from_file = isinstance(config, str)
+    if not from_file and name not in snaps:
+        snaps[name] = make_synthetic_snapshot(seed=3, grid_h=128,
+                                              network_config=config)
+    ekey = (name, chunk)
+    eng = engines.get(ekey)
+    if eng is None:
+        # trained snapshots carry calibrated densities (scale 1)
+        eng = NerfRender(settings=make_settings(
+            chunk, density_scale=1.0 if from_file else 25.0))
+        if from_file:
+            eng.reload_network_from_file(config)
+        else:
+            eng.load_from_snapshot(snaps[name])
+        engines[ekey] = eng
+    eng.set_resolution((w, h))
+    if name not in fused_checked:
+        if not _verify_fused(eng):
+            # fused numerics broken on this backend: bench the oracle
+            print("[bench] falling back to oracle (use_fused=False)",
+                  file=sys.stderr, flush=True)
             eng = NerfRender(settings=make_settings(
-                chunk, density_scale=1.0 if from_file else 25.0))
+                chunk, density_scale=1.0 if from_file else 25.0),
+                use_fused=False)
             if from_file:
                 eng.reload_network_from_file(config)
             else:
                 eng.load_from_snapshot(snaps[name])
+            eng.set_resolution((w, h))
             engines[ekey] = eng
-        eng.set_resolution((w, h))
-        if name not in fused_checked:
-            if not _verify_fused(eng):
-                # fused numerics broken on this backend: bench the oracle
-                print("[bench] falling back to oracle (use_fused=False)",
-                      file=sys.stderr, flush=True)
-                eng = NerfRender(settings=make_settings(
-                    chunk, density_scale=1.0 if from_file else 25.0),
-                    use_fused=False)
-                if from_file:
-                    eng.reload_network_from_file(config)
-                else:
-                    eng.load_from_snapshot(snaps[name])
-                eng.set_resolution((w, h))
-                engines[ekey] = eng
-            fused_checked.add(name)
-        t0 = time.perf_counter()
-        if not _validate(eng, cam, pose, w, h):
-            continue
-        eng.collect_stats = True
-        rays_per_sec = _measure(eng, cam, pose, w, h)
-        eng.collect_stats = False
-        print(f"[bench] {name}@{w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
-              f"(wall {time.perf_counter() - t0:.0f}s)",
+        fused_checked.add(name)
+    t0 = time.perf_counter()
+    if not _validate(eng, cam, pose, w, h):
+        return
+    eng.collect_stats = True
+    rays_per_sec = _measure(eng, cam, pose, w, h)
+    eng.collect_stats = False
+    print(f"[bench] {name}@{w}x{h}: {rays_per_sec / 1e6:.3f} Mray/s "
+          f"(wall {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    st = (eng.last_stats or {}).get("rounds")
+    if st:
+        s_eng = eng.settings
+        merged = sum(r.get("merged_s", 0.0) for r in st)
+        read = sum(r.get("read_s", 0.0) for r in st)
+        n_frz = sum(r.get("frozen", 0) for r in st)
+        lane_rounds = sum(r["m"] for r in st)
+        alive_rounds = sum(r.get("n_alive_est", r["m"]) for r in st)
+        samples = sum(r["k"] for r in st)
+        probes = sum(r["m"] * (s_eng.probes_per_round
+                               + s_eng.chain_balls) for r in st)
+        evald = sum((r.get("bucket") or 0) for r in st
+                    if r.get("bucket") is not None)
+        n_reads = (eng.last_stats or {}).get("n_reads", 0)
+        print(f"[bench]   phase split (last frame): {len(st)} rounds, "
+              f"{n_reads} reads, merged-dispatch {merged:.3f}s, "
+              f"reads {read:.3f}s, frozen-ray rounds {n_frz}, "
+              f"samples {samples}, "
+              f"probe:sample {probes / max(samples, 1):.1f}, "
+              f"eval-occupancy {samples}/{evald} "
+              f"({samples / max(evald, 1):.2f}), "
+              f"lane-occupancy {alive_rounds}/{lane_rounds} "
+              f"({alive_rounds / max(lane_rounds, 1):.2f})",
               file=sys.stderr, flush=True)
-        st = (eng.last_stats or {}).get("rounds")
-        if st:
-            s_eng = eng.settings
-            merged = sum(r.get("merged_s", 0.0) for r in st)
-            read = sum(r.get("read_s", 0.0) for r in st)
-            n_frz = sum(r.get("frozen", 0) for r in st)
-            lane_rounds = sum(r["m"] for r in st)
-            alive_rounds = sum(r.get("n_alive_est", r["m"]) for r in st)
-            samples = sum(r["k"] for r in st)
-            probes = sum(r["m"] * (s_eng.probes_per_round
-                                   + s_eng.chain_balls) for r in st)
-            evald = sum((r.get("bucket") or 0) for r in st
-                        if r.get("bucket") is not None)
-            n_reads = (eng.last_stats or {}).get("n_reads", 0)
-            print(f"[bench]   phase split (last frame): {len(st)} rounds, "
-                  f"{n_reads} reads, merged-dispatch {merged:.3f}s, "
-                  f"reads {read:.3f}s, frozen-ray rounds {n_frz}, "
-                  f"samples {samples}, "
-                  f"probe:sample {probes / max(samples, 1):.1f}, "
-                  f"eval-occupancy {samples}/{evald} "
-                  f"({samples / max(evald, 1):.2f}), "
-                  f"lane-occupancy {alive_rounds}/{lane_rounds} "
-                  f"({alive_rounds / max(lane_rounds, 1):.2f})",
-                  file=sys.stderr, flush=True)
-        _STATE["best"] = max(_STATE["best"], rays_per_sec)
+    _STATE["best"] = max(_STATE["best"], rays_per_sec)
 
-    _emit()
 
 
 if __name__ == "__main__":

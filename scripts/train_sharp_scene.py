@@ -108,6 +108,12 @@ ENCODINGS = {
     "hashgrid": {"otype": "HashGrid", "n_levels": 16,
                  "n_features_per_level": 2, "log2_hashmap_size": 19,
                  "base_resolution": 16},
+    # f4 rows: 8 levels x 4 features — half the gather descriptors per
+    # sample at the same 32-dim output (measured 1.3x encode speed,
+    # BASELINE r3); the head-to-head says whether quality holds
+    "tpugrid_f4": {"otype": "TpuGrid", "n_levels": 8,
+                   "n_features_per_level": 4, "log2_hashmap_size": 19,
+                   "base_resolution": 16},
 }
 
 
@@ -130,6 +136,17 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="msgpack snapshot path")
     p.add_argument("--record", default=None, help="json record path")
     p.add_argument("--eval-res", type=int, default=128)
+    p.add_argument("--gt-ss", type=int, default=1,
+                   help="supersample the analytic GT ss^2 rays/pixel "
+                        "(band-limited targets: a 1-ray/pixel hard-edge "
+                        "trace is pathologically aliased and caps PSNR "
+                        "near ~20 dB at the edges regardless of model "
+                        "capacity; real-photo GT is integrated over the "
+                        "pixel by the camera optics)")
+    p.add_argument("--eval-ss", type=int, default=0,
+                   help="render eval views at ss x resolution and "
+                        "box-filter (matches the supersampled GT's "
+                        "band limit); 0 = same as --gt-ss")
     p.add_argument("--log-every", type=int, default=200)
     args = p.parse_args(argv)
 
@@ -169,18 +186,34 @@ def main(argv=None):
                  cx=res / 2, cy=res / 2)
     aabb = jnp.asarray(settings.aabb, jnp.float32)
 
+    def traced_gt(camera, rot, origin, w, h, ss):
+        """Pixel-integrated analytic GT: mean of ss^2 sub-pixel traces."""
+        if ss <= 1:
+            ro, rd = generate_rays(camera, rot, origin, w, h)
+            return trace_scene(np.asarray(ro), np.asarray(rd))
+        acc = np.zeros((w * h, 3), np.float32)
+        for i in range(ss):
+            for j in range(ss):
+                sub = Camera(fl_x=camera.fl_x, fl_y=camera.fl_y,
+                             cx=camera.cx - ((i + 0.5) / ss - 0.5),
+                             cy=camera.cy - ((j + 0.5) / ss - 0.5))
+                ro, rd = generate_rays(sub, rot, origin, w, h)
+                acc += trace_scene(np.asarray(ro), np.asarray(rd))
+        return acc / (ss * ss)
+
     # --- precompute per-view ngp-space rays + analytic gt ---------------
     views = []
     for v in range(args.views):
         pose = orbit_pose(2 * math.pi * v / args.views,
                           elev=0.15 + 0.25 * ((v * 7) % 5) / 4)
         ngp = nerf_matrix_to_ngp(pose, settings.scale)
-        ro, rd = generate_rays(cam, jnp.asarray(ngp[:3, :3]),
-                               jnp.asarray(ngp[:3, 3]), res, res)
+        rot, orig_t = jnp.asarray(ngp[:3, :3]), jnp.asarray(ngp[:3, 3])
+        ro, rd = generate_rays(cam, rot, orig_t, res, res)
         ro, rd = np.asarray(ro), np.asarray(rd)
-        views.append((ro, rd, trace_scene(ro, rd)))
-    print(f"[scene] {args.views} views x {res}x{res} analytic gt ready",
-          file=sys.stderr, flush=True)
+        views.append((ro, rd, traced_gt(cam, rot, orig_t, res, res,
+                                        args.gt_ss)))
+    print(f"[scene] {args.views} views x {res}x{res} analytic gt ready "
+          f"(gt_ss={args.gt_ss})", file=sys.stderr, flush=True)
 
     trainer = Trainer(net, settings,
                       loss_config={"otype": "Huber"},
@@ -224,28 +257,35 @@ def main(argv=None):
     from nerf_tpu.train.trainer import render_train
 
     er = args.eval_res
-    ecam = Camera(fl_x=er * 1.3875, fl_y=er * 1.3875, cx=er / 2, cy=er / 2)
+    ess = args.eval_ss or args.gt_ss
+    rr = er * ess  # render at the supersampled grid, box-filter down
+    ecam = Camera(fl_x=rr * 1.3875, fl_y=rr * 1.3875, cx=rr / 2, cy=rr / 2)
     scores = []
     md = float(np.asarray(mean_density(grid)))
     eval_settings = settings
     for v in range(3):
         pose = orbit_pose(2 * math.pi * (v + 0.5) / 3, elev=0.3)
         ngp = nerf_matrix_to_ngp(pose, settings.scale)
-        ro, rd = generate_rays(ecam, jnp.asarray(ngp[:3, :3]),
-                               jnp.asarray(ngp[:3, 3]), er, er)
+        rot, orig_t = jnp.asarray(ngp[:3, :3]), jnp.asarray(ngp[:3, 3])
+        ro, rd = generate_rays(ecam, rot, orig_t, rr, rr)
         gt = trace_scene(np.asarray(ro), np.asarray(rd))
         nears, fars = near_far_from_aabb(ro, rd, aabb, settings.min_near)
         rgb, _, _ = render_train(net, params, ro, rd, nears, fars,
                                  eval_settings,
                                  n_samples=args.n_samples,
                                  density_grid=grid)
-        scores.append(float(psnr(np.asarray(rgb), gt)))
+        rgb = np.asarray(rgb)
+        if ess > 1:
+            rgb = rgb.reshape(er, ess, er, ess, 3).mean(axis=(1, 3))
+            gt = gt.reshape(er, ess, er, ess, 3).mean(axis=(1, 3))
+        scores.append(float(psnr(rgb, gt)))
     print(f"[eval] held-out PSNR {np.mean(scores):.2f} dB "
           f"(views: {['%.2f' % s for s in scores]})",
           file=sys.stderr, flush=True)
 
     record = dict(encoding=args.encoding, steps=args.steps,
                   batch=args.batch, res=res, views=args.views,
+                  gt_ss=args.gt_ss, eval_ss=ess, eval_res=er,
                   brick_reg=args.brick_reg,
                   project_every=args.project_every,
                   log2_rows=cfg["encoding"].get("log2_rows"),
