@@ -99,8 +99,12 @@ def make_settings(chunk: int, density_scale: float = 25.0):
                           chain_steps=8,
                           skip_row_w=4,
                           ray_chunk=chunk,
-                          bucket_set=(16384, 32768, 65536, 131072,
-                                      262144),
+                          # ratio-2 rungs + two half-rungs in the hot
+                          # demand band (the plan sizes buckets to 1.05x
+                          # demand; measured eval occupancy 0.61 on pure
+                          # ratio-2 rungs)
+                          bucket_set=(16384, 32768, 49152, 65536, 98304,
+                                      131072, 196608, 262144),
                           ray_bucket_set=(chunk, 16384, 4096),
                           cap_emit=8,
                           host_loop=True)
@@ -233,8 +237,15 @@ def main():
     attempts = []
     sharp_tpu = os.path.join(REPO_DIR, "assets", "sharp_tpugrid.msgpack")
     sharp_hash = os.path.join(REPO_DIR, "assets", "sharp_hashgrid.msgpack")
+    sharp_f4 = os.path.join(REPO_DIR, "assets", "sharp_tpugrid_f4.msgpack")
+    sharp_hq = os.path.join(REPO_DIR, "assets", "sharp_tpugrid_hq.msgpack")
     if os.path.exists(sharp_tpu):
         attempts.append(("sharp-tpugrid", sharp_tpu, 800, 65536))
+    if os.path.exists(sharp_f4):
+        # f4 rows: half the encode descriptors at the same output width
+        attempts.append(("sharp-tpugrid-f4", sharp_f4, 800, 65536))
+    if os.path.exists(sharp_hq):
+        attempts.append(("sharp-tpugrid-hq", sharp_hq, 800, 65536))
     attempts += [
         ("tpugrid", TPU_NETWORK_CONFIG, 800, 65536),
         # 4 chunks of 16384 (a cached ray-ladder shape): a single-chunk
