@@ -212,13 +212,41 @@ class TpuGridEncoding(Encoding):
     def prepare_params(self, params):
         """Build the packed/padded uint32 gather table once (see
         _pack_table / _pack_table_int8). Returns {"ptable": ...} or
-        {"qtable": ...} in packed modes, the raw params otherwise."""
+        {"qtable": ...} in packed modes, the raw params otherwise.
+
+        The bf16 pack runs on the HOST: on device the [R, ncells, F]
+        intermediate materializes in (8, 128) tiles — a 59x HBM write
+        amplification (ncells*F pads to 32x128) that OOMs at 43 GB for a
+        log2_rows=18 table (measured; the layout trap of BASELINE.md,
+        round-4 edition). NumPy packs it tile-free in seconds, using
+        ml_dtypes.bfloat16 for the identical round-to-nearest-even
+        truncation, and only the packed [R, row_pad] u32 table (1/4 the
+        f32 bytes) ever reaches HBM."""
         F = self.n_features_per_level
         if self.packed_gather and self.row_quant == "int8" and F == 2:
             return {"qtable": self._pack_table_int8(params)}
         if self.packed_gather and F in (2, 4):
-            return {"ptable": self._pack_table(params)}
+            return {"ptable": jnp.asarray(self._pack_table_np(params))}
         return params
+
+    def _pack_table_np(self, params):
+        """Host-side _pack_table (bit-identical: ml_dtypes bfloat16 uses
+        the same RNE rounding as XLA's convert)."""
+        import ml_dtypes
+
+        F = self.n_features_per_level
+        v = np.asarray(params, np.float32).reshape(
+            self.total_rows, self.ncells, F)
+        b = v.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.uint32)
+        if F == 2:
+            ptable = b[..., 0] | (b[..., 1] << np.uint32(16))
+        else:  # F == 4 (see _pack_table)
+            even = b[..., 0] | (b[..., 1] << np.uint32(16))
+            odd = b[..., 2] | (b[..., 3] << np.uint32(16))
+            ptable = np.stack([even, odd], axis=-1).reshape(
+                self.total_rows, 2 * self.ncells)
+        pad = self._row_pad - ptable.shape[1]
+        return np.pad(ptable, ((0, 0), (0, pad)))
 
     def _bf16_pair(self, a, b):
         lo = jax.lax.bitcast_convert_type(

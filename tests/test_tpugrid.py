@@ -216,3 +216,17 @@ def test_int8_rows_match_f32_path():
     out = np.asarray(enc.apply_cf(prep, x))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel  # int8 quantization, per-row scaled
+
+
+def test_host_pack_bit_identical_to_device_pack():
+    """prepare_params packs on the HOST (the device-side [R, ncells, F]
+    intermediate tiles at (8,128) — a 59x write amplification that OOMs
+    43 GB at log2_rows=18, BASELINE r4); ml_dtypes bfloat16 must round
+    exactly like XLA's convert so the packed tables stay bit-equal."""
+    for cfg in (HASHED_CFG, BRICK4_CFG,
+                {**HASHED_CFG, "n_features_per_level": 4}):
+        enc = create_encoding(3, cfg)
+        p = enc.init_params(jax.random.PRNGKey(0)) * 100.0
+        dev = np.asarray(enc._pack_table(p))
+        host = enc._pack_table_np(p)
+        np.testing.assert_array_equal(dev, host)
