@@ -63,9 +63,14 @@ def _tcnn_rows_for_cells(enc: GridEncoding, lvl: int,
 def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
                      density_thresh: float, bound: float,
                      scale: float, nb: int, brick_w: int = 2,
-                     max_bricks: int = 0) -> np.ndarray:
+                     max_bricks: int = 0
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Brick coords [K, 3] (int) of one TpuGrid level whose cells can be
-    touched by samples inside occupied occupancy-grid cells.
+    touched by samples inside occupied occupancy-grid cells, plus a
+    weight [K] per brick = how many (occupancy-cell, candidate) pairs
+    mapped to it — a proxy for the sample mass the march will draw from
+    the brick, used to weight colliding bricks' row fit (VERDICT r4
+    item 4: plain averaging let near-empty bricks dilute heavy ones).
 
     Marched sample positions live in occupied cells of some mip
     (render_utils.h:606-619); pos01 = x/(2*bound)+0.5 maps each occupancy
@@ -81,6 +86,7 @@ def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
     full-average row value (trained/sparse scenes rarely hit the cap)."""
     h = grid_h
     uniq = np.zeros((0,), np.int64)
+    ucnt = np.zeros((0,), np.int64)
     for cas in range(cascade):
         occ = density_grid[cas * h ** 3:(cas + 1) * h ** 3] > density_thresh
         idx = np.nonzero(occ)[0]
@@ -117,19 +123,24 @@ def _occupied_bricks(density_grid: np.ndarray, grid_h: int, cascade: int,
             grid = (bx[:, :, None, None] * (nb * nb)
                     + by[:, None, :, None] * nb
                     + bz[:, None, None, :]).reshape(-1)
-            uniq = np.unique(np.concatenate([uniq, np.unique(grid)]))
+            bk, bc = np.unique(grid, return_counts=True)
+            keys = np.concatenate([uniq, bk])
+            cnts = np.concatenate([ucnt, bc.astype(np.int64)])
+            uniq, inv = np.unique(keys, return_inverse=True)
+            ucnt = np.bincount(inv, weights=cnts.astype(np.float64),
+                               minlength=uniq.size).astype(np.int64)
             if max_bricks and uniq.size > 4 * max_bricks:
                 # keep the running set bounded too (dense snapshots):
                 # deterministic stride keeps coverage roughly uniform
-                uniq = uniq[::2]
+                uniq, ucnt = uniq[::2], ucnt[::2]
     if uniq.size == 0:
-        return np.zeros((0, 3), np.int64)
-    keys = uniq
+        return np.zeros((0, 3), np.int64), np.zeros((0,), np.int64)
+    keys, wts = uniq, ucnt
     if max_bricks and keys.size > max_bricks:
         stride = -(-keys.size // max_bricks)  # ceil
-        keys = keys[::stride]
-    return np.stack([keys // (nb * nb), (keys // nb) % nb, keys % nb],
-                    axis=1)
+        keys, wts = keys[::stride], wts[::stride]
+    return (np.stack([keys // (nb * nb), (keys // nb) % nb, keys % nb],
+                     axis=1), wts)
 
 
 def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
@@ -161,6 +172,7 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
     bw = tpu_enc.brick_w
     nbs = tpu_enc.nb_side
     acc = np.zeros((tpu_enc.total_rows, ncells, F), np.float64)
+    wsum = np.zeros((tpu_enc.total_rows,), np.float64)
     cnt = np.zeros((tpu_enc.total_rows,), np.int64)
     stats = {"levels": []}
 
@@ -177,12 +189,13 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
             b = np.arange(nb ** 3, dtype=np.int64)
             bricks = np.stack([b // (nb * nb), (b // nb) % nb, b % nb],
                               axis=1)
+            wts = np.ones((len(bricks),), np.int64)
         else:
             if density_grid is None:
                 raise ValueError(
                     "hashed TpuGrid levels need density_grid to bound "
                     "the converted brick set")
-            bricks = _occupied_bricks(
+            bricks, wts = _occupied_bricks(
                 np.asarray(density_grid), grid_h, cascade, density_thresh,
                 bound, float(tpu_enc._scales[lvl]), nb, brick_w=bw,
                 max_bricks=max_bricks_per_level)
@@ -205,7 +218,13 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
         cells = (bricks[:, None, :] * bw + nbh[None, :, :]).reshape(-1, 3)
         tr = _tcnn_rows_for_cells(tcnn_enc, lvl, cells)
         vals = table[tr].reshape(len(bricks), ncells, F)
-        np.add.at(acc, rows, vals)
+        # Occupancy-weighted fit: a row shared by colliding bricks takes
+        # the weighted mean of their neighborhoods (= the least-squares
+        # row under per-brick sample-mass weights w_b), so a heavily-
+        # sampled brick is not diluted by barely-occupied aliases.
+        w = wts.astype(np.float64)
+        np.add.at(acc, rows, vals * w[:, None, None])
+        np.add.at(wsum, rows, w)
         np.add.at(cnt, rows, 1)
         row_cnt = cnt[off_lvl:off_lvl + rows_lvl]
         stats["levels"].append(dict(
@@ -213,6 +232,77 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
             collided_rows=int(np.sum(row_cnt > 1)),
             max_bricks_per_row=int(row_cnt.max() if rows_lvl else 0)))
 
-    out = np.where(cnt[:, None, None] > 0,
-                   acc / np.maximum(cnt[:, None, None], 1), 0.0)
+    out = np.where(wsum[:, None, None] > 0,
+                   acc / np.maximum(wsum[:, None, None], 1e-12), 0.0)
     return out.reshape(-1).astype(np.float32), stats
+
+
+def occupied_brick_counts(tcnn_enc: GridEncoding, density_grid: np.ndarray,
+                          grid_h: int, cascade: int, bound: float,
+                          density_thresh: float, brick_w: int = 2):
+    """Per-level occupied-brick counts for the tcnn schedule, BEFORE any
+    TpuGrid is constructed — the sizing input for recommend_log2_rows.
+    Returns [{level, nb, bricks}] where nb is bricks-per-dim (the level's
+    row demand is min(bricks, nb^3))."""
+    log2b = np.float32(np.log2(tcnn_enc.per_level_scale))
+    out = []
+    for lvl in range(tcnn_enc.n_levels):
+        scale = float(np.exp2(np.float32(lvl) * log2b)
+                      * np.float32(tcnn_enc.base_resolution)
+                      - np.float32(1.0))
+        res = int(np.ceil(np.float32(scale))) + 1
+        nb = (res - 1) // brick_w + 1
+        _, wts = _occupied_bricks(np.asarray(density_grid), grid_h,
+                                  cascade, density_thresh, bound, scale,
+                                  nb, brick_w=brick_w)
+        out.append(dict(level=lvl, nb=nb, bricks=int(len(wts))))
+    return out
+
+
+def recommend_log2_rows(level_counts, ncells: int, n_features: int,
+                        max_table_bytes: int = 1 << 30,
+                        lo: int = 10, hi: int = 22) -> int:
+    """Row budget sized from the snapshot's own occupancy (VERDICT r4
+    weak #4: conversion fidelity is governed by occupied-bricks/rows,
+    which the converter measures — 11.66 dB at the default rows vs
+    27.4 dB+ at snapshot-sized rows, quality_convert_trained*.json).
+
+    Policy: the smallest log2_rows giving every hashed level load
+    factor <= 0.5 (bricks*2 <= rows — rows >= bricks alone still
+    birthday-collides ~25% of bricks), then keep upgrading while the
+    next step converts at least one more level to DENSE indexing
+    (collision-free by construction) within the packed-table memory
+    budget — small schedules land all-dense; instant-ngp-scale fine
+    levels (nb^3 ~ 1e9) stay hashed at low load.
+
+    level_counts: occupied_brick_counts output. Packed rows cost
+    row_pad*4 bytes (64 u32 for 27-cell F=2 rows)."""
+    row_pad = 64
+    while row_pad < ncells * (n_features // 2 or 1):
+        row_pad *= 2
+
+    def table_bytes(L):
+        return sum(min(d["nb"] ** 3, 1 << L) for d in level_counts) \
+            * row_pad * 4
+
+    def n_dense(L):
+        return sum(d["nb"] ** 3 <= (1 << L) for d in level_counts)
+
+    def fits(L):
+        max_rows = 1 << L
+        return all(d["nb"] ** 3 <= max_rows
+                   or d["bricks"] * 2 <= max_rows for d in level_counts)
+
+    L = next((x for x in range(lo, hi + 1)
+              if fits(x) and table_bytes(x) <= max_table_bytes), None)
+    if L is None:
+        # nothing satisfies load <= 0.5 within budget: take the largest
+        # affordable budget (best effort; stats still report the load)
+        L = max((x for x in range(lo, hi + 1)
+                 if table_bytes(x) <= max_table_bytes), default=lo)
+        return L
+    best = L
+    for x in range(L + 1, hi + 1):
+        if table_bytes(x) <= max_table_bytes and n_dense(x) > n_dense(best):
+            best = x
+    return best

@@ -23,7 +23,7 @@ Round-4 scheduler (replaces the round-3 depth-2 reactive pipeline):
   one per wave-round to one per segment (~3-4 per chunk per frame).
   Correctness never depends on the plan: a wrong bucket freezes rays at
   the bucket boundary exactly as in the reactive mode, and the reactive
-  escalation (k+frozen demand floor, monotone while freezing persists)
+  escalation (k+spill exact demand, monotone while freezing persists)
   reclaims any drift; a chunk that outlives its plan falls back to the
   reactive depth-2 pipeline.
 
@@ -88,8 +88,11 @@ class _Chunk:
 def _plan_from_records(recs, s: RenderSettings, ray_ladder):
     """Build the next frame's per-chunk schedule from this frame's
     retired-round records. Bucket = smallest ladder rung covering 1.05x
-    the observed demand floor (k + bucket-frozen rays); rounds that
-    emitted nothing plan a free bucket=0 traversal round.
+    the observed demand (k + the EXACT bucket-deferred sample count from
+    the march's spill simulator — the old frozen-ray floor under-sized
+    plans by up to cap-1 samples per frozen ray and re-froze every
+    frame); rounds that emitted nothing plan a free bucket=0 traversal
+    round.
 
     The planned working-set trajectory `m` comes from the ALIVE-count
     trajectory (rung covering the previous round's alive bound), not the
@@ -107,15 +110,16 @@ def _plan_from_records(recs, s: RenderSettings, ray_ladder):
     for rlist in recs:
         rlist = sorted(rlist, key=lambda d: d["r"])
         buckets, ms, alive = [], [], []
+        prev_bound = None
         for d in rlist:
-            demand = d["k"] + d["frozen"]
+            demand = d["k"] + d["spill"]
             if demand == 0:
                 b = 0
             else:
                 want = int(demand * 1.05) + 1
                 b = next((sz for sz in ladder if sz >= want), ladder[-1])
             buckets.append(b)
-            if not ms:
+            if prev_bound is None:
                 pm = d["m"]
             else:
                 pm = min((rb for rb in ray_ladder if rb >= prev_bound),
@@ -135,7 +139,7 @@ def _run_waves(states, s: RenderSettings, ladder, max_host_rounds, ops,
     ops provides the device-side primitives:
       issue(st, bucket) -> counts handle  (advances st.state)
       compact(st, target)                  (chained working-set shrink)
-      parse(row) -> (k, frozen, alive_bound, total_alive)
+      parse(row) -> (k, frozen, spill, alive_bound, total_alive)
       zero_counts: padding element for the batched read
     Returns the max round count seen (for RenderResult.n_rounds).
     """
@@ -184,36 +188,45 @@ def _run_waves(states, s: RenderSettings, ladder, max_host_rounds, ops,
         b = _choose_bucket(k_est, ns, s.bucket_set)
         return b if b is None else min(b, cap_emit * st.m)
 
-    def _fill(st):
-        while not st.done:
-            r = st.issued
-            if r >= max_host_rounds:
-                if not st.fifo:
-                    st.done = True
-                    capped.append(st)
-                break
-            if st.plan is not None and r < len(st.plan["buckets"]):
-                # plan segment mode: issue ahead freely, pausing only at
-                # last frame's compaction rounds until counts confirm
-                # the alive bound
-                if r in st.boundaries and st.fifo:
-                    break
-            else:
-                cap_depth = tail_depth if st.m <= tail_m else depth_pipe
-                if len(st.fifo) >= cap_depth:
-                    break
-            _maybe_compact(st)
-            b = _bucket_for(st, r)
-            h = ops.issue(st, b)
-            st.fifo.append((r, b, st.m, h))
-            st.issued += 1
+    def _fill_step(st) -> bool:
+        """Issue at most ONE round for this chunk; True if issued.
+        Single-step so the wave loop can fill BREADTH-FIRST — all
+        chunks' depth-0 rounds before any depth-1 round — keeping the
+        first wave's count read from barriering behind 2n-1 chained
+        programs (the round-3 measured fill-order effect; ADVICE r4)."""
+        if st.done:
+            return False
+        r = st.issued
+        if r >= max_host_rounds:
+            if not st.fifo:
+                st.done = True
+                capped.append(st)
+            return False
+        if st.plan is not None and r < len(st.plan["buckets"]):
+            # plan segment mode: issue ahead freely, pausing only at
+            # last frame's compaction rounds until counts confirm
+            # the alive bound
+            if r in st.boundaries and st.fifo:
+                return False
+        else:
+            cap_depth = tail_depth if st.m <= tail_m else depth_pipe
+            if len(st.fifo) >= cap_depth:
+                return False
+        _maybe_compact(st)
+        b = _bucket_for(st, r)
+        h = ops.issue(st, b)
+        st.fifo.append((r, b, st.m, h))
+        st.issued += 1
+        return True
 
     max_rounds_seen = 0
     while True:
         t_wave = time.perf_counter()
-        for st in states:
-            if not st.done:
-                _fill(st)
+        progress = True
+        while progress:
+            progress = False
+            for st in states:
+                progress |= _fill_step(st)
         readers = [st for st in states if st.fifo]
         if not readers:
             break
@@ -244,25 +257,30 @@ def _run_waves(states, s: RenderSettings, ladder, max_host_rounds, ops,
             pos += n_take  # advance even if this chunk drains mid-chain
             for _j in range(n_take):
                 ridx, bucket, m_at, _h = st.fifo.pop(0)
-                k, frz, alive_bound, total_alive = ops.parse(rows[_j])
-                # bucket-frozen rays deferred >= 1 sample each: k + frozen
-                # is a demand FLOOR; monotone while freezing persists so a
-                # stale small-bucket retire cannot downgrade it
+                k, frz, spill, alive_bound, total_alive = ops.parse(
+                    rows[_j])
+                # k + spill is the EXACT round demand (spill = samples
+                # the bucket deferred, march.py spill simulator);
+                # monotone max while freezing persists so a stale
+                # small-bucket retire cannot downgrade it
                 st.k_est = (k if frz == 0
-                            else max(st.k_est, k + frz, (bucket or 0) + 1))
+                            else max(st.k_est, k + spill))
                 st.freeze_pending = frz > 0
                 st.n_alive_est = alive_bound
                 st.rounds = ridx + 1
                 max_rounds_seen = max(max_rounds_seen, st.rounds)
                 recs[st.index].append(dict(r=ridx, bucket=bucket, k=k,
-                                           frozen=frz, m=m_at,
-                                           bound=alive_bound,
+                                           frozen=frz, spill=spill,
+                                           m=m_at, bound=alive_bound,
                                            alive=total_alive))
                 if stats is not None:
-                    # pro-rata wave attribution (bench phase split)
+                    # pro-rata wave attribution (bench phase split);
+                    # k_sum = cross-shard sample total (== k on 1 device)
                     stats.setdefault("rounds", []).append(
                         dict(chunk=st.index, m=m_at, k=k, frozen=frz,
-                             bucket=bucket, n_alive_est=alive_bound,
+                             spill=spill, bucket=bucket,
+                             k_sum=getattr(ops, "last_k_sum", k),
+                             n_alive_est=alive_bound,
                              merged_s=(t_read - t_wave) / n_ret,
                              read_s=(t_done - t_read) / n_ret))
                 if total_alive == 0:
@@ -295,7 +313,7 @@ class _SingleOps:
         self.density_grid = density_grid
         self.skip_field = skip_field
         self.s = s
-        self.zero_counts = jnp.zeros((3,), jnp.int32)
+        self.zero_counts = jnp.zeros((4,), jnp.int32)
 
     def issue(self, st, bucket):
         v = st.state
@@ -319,8 +337,9 @@ class _SingleOps:
 
     @staticmethod
     def parse(row):
-        k, n_alive, frz = int(row[0]), int(row[1]), int(row[2])
-        return k, frz, n_alive, n_alive
+        k, n_alive, frz, spill = (int(row[0]), int(row[1]), int(row[2]),
+                                  int(row[3]))
+        return k, frz, spill, n_alive, n_alive
 
 
 def render_rays_hostloop(apply_fn: Callable, params, density_grid, rays_o,
@@ -407,7 +426,7 @@ class _ShardedOps:
         self.skip_field = skip_field
         self.has_sf = skip_field is not None
         self.d_cnt = rounds.n_dev
-        self.zero_counts = jnp.zeros((3 * self.d_cnt,), jnp.int32)
+        self.zero_counts = jnp.zeros((4 * self.d_cnt,), jnp.int32)
 
     def issue(self, st, bucket):
         v = st.state
@@ -430,9 +449,17 @@ class _ShardedOps:
         st.m = target
 
     def parse(self, row):
-        r = np.asarray(row).reshape(self.d_cnt, 3)
+        r = np.asarray(row).reshape(self.d_cnt, 4)
         # per-shard freeze/demand: SPMD buckets are sized to the max
-        return (int(r[:, 0].max()), int(r[:, 2].max()),
+        # shard, so the effective demand is max_shard(k + spill); spill
+        # is reported as (that max) - max(k) so k + spill composes right
+        k = int(r[:, 0].max())
+        demand = int((r[:, 0] + r[:, 3]).max())
+        # true cross-shard sample total for the stats path (the bucket
+        # inflation D*max_d(k_d) vs sum_d(k_d) is the multichip tax
+        # scripts/multichip_tax.py bounds)
+        self.last_k_sum = int(r[:, 0].sum())
+        return (k, int(r[:, 2].max()), max(demand - k, 0),
                 int(r[:, 1].max()), int(r[:, 1].sum()))
 
 
@@ -445,7 +472,7 @@ def render_rays_hostloop_sharded(rounds: _ShardedRounds, params,
     """Multi-chip host-looped render (see render_rays_hostloop).
 
     rays are globally [N]; each device owns N/D contiguous rays; ONE
-    concatenated [(entries)*3*D] count readback per wave."""
+    concatenated [(entries)*4*D] count readback per wave."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     s = rounds.s

@@ -434,11 +434,13 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     — see pass 3. None = unlimited (the all-lanes eval never overflows).
 
     Returns (t_new [m], xs [3,P,m], dts [P,m], rds [P,m], valid [P,m],
-    n_emit_new [m], shadow_new [m], frozen_bucket [m] bool). The frozen
-    flag reports BUCKET-boundary freezes only (the host's escalation
-    signal); cap_emit freezes still stop the ray for the round but are
-    not reported — they are routine at surface rounds and do not
-    indicate bucket shortage.
+    n_emit_new [m], shadow_new [m], frozen_bucket [m] bool, spill []
+    int32). The frozen flag reports BUCKET-boundary freezes only (the
+    host's escalation signal); cap_emit freezes still stop the ray for
+    the round but are not reported — they are routine at surface rounds
+    and do not indicate bucket shortage. spill is the exact count of
+    samples the bucket deferred this round (see the spill simulator in
+    pass 3); 0 when no bucket is active.
     """
     m = t.shape[0]
     P = s.probes_per_round
@@ -526,6 +528,21 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
     last_t = t
     emit_rnd = jnp.zeros_like(n_emit)
     frozen = jnp.zeros_like(alive)
+    # Bucket-spill simulator: a parallel replay of this same emission
+    # pass WITHOUT the bucket limit (cap_emit still applies). Its excess
+    # emission count is the EXACT number of samples the bucket deferred
+    # to the next round — the host's demand signal. The old signal
+    # (frozen-ray count) was only a floor: a frozen ray can carry up to
+    # cap deferred samples, so plans sized to k+frozen stayed slightly
+    # short and re-froze every frame (r4 steady state: 1695 frozen-ray
+    # rounds/frame). Pure VPU state, ~6 extra [m] ops per probe, only
+    # materialized when a bucket is active.
+    spill_sim = limit is not None
+    if spill_sim:
+        nb_frozen = jnp.zeros_like(alive)
+        nb_shadow = shadow
+        nb_n_emit = n_emit
+        nb_emit_rnd = jnp.zeros_like(n_emit)
     # bucket-boundary freezes only (excludes cap_emit freezes): the
     # host's bucket-escalation signal. cap_emit freezes fire at EVERY
     # surface round by design and say nothing about bucket shortage —
@@ -567,8 +584,25 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
         if cap < P:
             emit_rnd = emit_rnd + emit_k.astype(jnp.int32)
         valid_l.append(emit_k)
+        if spill_sim:
+            nb_can = (alive & (tk < far) & (nb_n_emit < max_steps)
+                      & (tk >= nb_shadow) & ~nb_frozen)
+            if cap < P:
+                nb_hit = nb_emit_rnd >= cap
+                nb_emit = nb_can & occ & ~nb_hit
+                nb_frozen = nb_frozen | (nb_can & occ & nb_hit)
+            else:
+                nb_emit = nb_can & occ
+            nb_shadow = jnp.where(nb_can & ~occ, tt, nb_shadow)
+            nb_n_emit = nb_n_emit + nb_emit.astype(jnp.int32)
+            nb_emit_rnd = nb_emit_rnd + nb_emit.astype(jnp.int32)
     if freezing:
         t_new = jnp.where(frozen, t_freeze, t_new)
+    if spill_sim:
+        spill = jnp.sum(nb_emit_rnd) - jnp.sum(
+            jnp.stack([v.astype(jnp.int32) for v in valid_l]))
+    else:
+        spill = jnp.int32(0)
 
     if want_slots:
         # Per-ray slot compaction: with cap_emit < P every emitted sample
@@ -695,8 +729,8 @@ def _march_round_deep(t, alive, rays_o, rays_d, far, density_grid,
 
     if want_slots:
         return (t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b,
-                t_slot, probe_slot)
-    return t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b
+                spill, t_slot, probe_slot)
+    return t_new, xs, dts, rds, valid, n_emit, shadow, frozen_b, spill
 
 
 def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
@@ -704,14 +738,15 @@ def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
                         perturb_seed, s: RenderSettings, bucket=None):
     """Deep march + sample compaction (probe-major). Returns (t_new,
     valid [P,m], pos01 [3,P*m], dir01 [3,P*m], comp [P*m] compaction
-    indices, n_valid, dts, rds, n_emit_new, shadow_new, n_frozen)."""
+    indices, n_valid, dts, rds, n_emit_new, shadow_new, n_frozen,
+    n_spill)."""
     m = t.shape[0]
     P = s.probes_per_round
     ns = P * m
     bound = jnp.float32(s.bound)
 
     (t_new, xs, dts, rds, valid, n_emit_new, shadow_new,
-     frozen) = _march_round_deep(
+     frozen, spill) = _march_round_deep(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
         shadow, round_idx=round_idx, perturb_seed=perturb_seed,
         skip_field=skip_field, bucket=bucket)
@@ -735,7 +770,7 @@ def _march_compact_core(density_grid, skip_field, rays_o_cf, rays_d_cf,
         jnp.where(vflat, dest, ns)].set(src, mode="drop")
     n_frozen = jnp.sum(frozen.astype(jnp.int32))
     return (t_new, valid, pos01, dir01, comp, n_valid, dts, rds,
-            n_emit_new, shadow_new, n_frozen)
+            n_emit_new, shadow_new, n_frozen, spill)
 
 
 def _march_compact_slots(density_grid, skip_field, rays_o_cf, rays_d_cf,
@@ -749,13 +784,13 @@ def _march_compact_slots(density_grid, skip_field, rays_o_cf, rays_d_cf,
     the flagship settings — and no [3, P*m] position arrays are
     materialized (XLA DCEs the unused xs stack). Returns (t_new,
     valid [P,m], t_slot [cap,m], probe_slot [cap,m], comp [cap*m],
-    n_valid, dts, rds, n_emit_new, shadow_new, n_frozen)."""
+    n_valid, dts, rds, n_emit_new, shadow_new, n_frozen, n_spill)."""
     m = t.shape[0]
     cap = int(s.cap_emit)
     nslot = cap * m
 
     (t_new, _xs, dts, rds, valid, n_emit_new, shadow_new, frozen,
-     t_slot, probe_slot) = _march_round_deep(
+     spill, t_slot, probe_slot) = _march_round_deep(
         t, alive, rays_o_cf, rays_d_cf, fars, density_grid, s, n_emit,
         shadow, round_idx=round_idx, perturb_seed=perturb_seed,
         skip_field=skip_field, bucket=bucket, want_slots=True)
@@ -768,7 +803,7 @@ def _march_compact_slots(density_grid, skip_field, rays_o_cf, rays_d_cf,
         jnp.where(vflat, dest, nslot)].set(src, mode="drop")
     n_frozen = jnp.sum(frozen.astype(jnp.int32))
     return (t_new, valid, t_slot, probe_slot, comp, n_valid, dts, rds,
-            n_emit_new, shadow_new, n_frozen)
+            n_emit_new, shadow_new, n_frozen, spill)
 
 
 def _composite_round_masked(smp_rgb, smp_sigma, smp_dt, smp_rd, valid,
@@ -898,15 +933,17 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
     where the round's emission rank reaches the bucket (see
     _march_round_deep pass 3), and frozen rays resume at that exact
     probe next round — the same round-partition reassociation class as
-    cap_emit. counts[2] reports how many rays froze so the host can
-    escalate the next round's bucket. With no replay path the program
+    cap_emit. counts[2] reports how many rays froze (the escalation
+    trigger) and counts[3] the exact number of deferred samples (the
+    demand delta the plan adds back). With no replay path the program
     returns ONLY the carried ray state + accumulators, which lets XLA
     dead-code-eliminate the [P*m] compaction scatter in the bucket=0
     and all-lanes variants (~17ms/round of descriptor-bound scatter at
     ns=2.1M, BASELINE.md r3).
 
     Returns (t_new, n_emit_new, shadow_new, w_sum', depth', rgb',
-    alive', counts[3]) with counts = [n_valid, n_alive', n_frozen].
+    alive', counts[4]) with counts = [n_valid, n_alive', n_frozen,
+    n_spill].
 
     The whole round is guarded by lax.cond(any(alive), ...): an all-dead
     round is an exact identity on every output (no lane can probe, emit
@@ -918,7 +955,7 @@ def _round_merged_core(apply_fn: Callable, params, density_grid, skip_field,
     """
     def _dead(_):
         return (t, n_emit, shadow, w_sum, depth, rgb, alive,
-                jnp.zeros((3,), jnp.int32))
+                jnp.zeros((4,), jnp.int32))
 
     def _live(_):
         return _round_merged_live(
@@ -945,7 +982,7 @@ def _round_merged_live(apply_fn: Callable, params, density_grid, skip_field,
         # (see _march_compact_slots). Output-identical to the dense path.
         bucket = min(int(bucket), int(s.cap_emit) * m)
         (t_new, valid, t_slot, probe_slot, comp, n_valid, dts, rds,
-         n_emit_new, shadow_new, n_frozen) = _march_compact_slots(
+         n_emit_new, shadow_new, n_frozen, spill) = _march_compact_slots(
             density_grid, skip_field, rays_o_cf, rays_d_cf, fars, t,
             alive, n_emit, shadow, round_idx, perturb_seed, s,
             bucket=bucket)
@@ -956,12 +993,12 @@ def _round_merged_live(apply_fn: Callable, params, density_grid, skip_field,
             rgb_k, sigma_k, comp, valid, dts, rds, t, alive, orig,
             n_emit_new, w_sum, depth, rgb, fars, t_new, s,
             all_lanes=False, dest=dest)
-        counts = jnp.stack([n_valid, n_alive, n_frozen])
+        counts = jnp.stack([n_valid, n_alive, n_frozen, spill])
         return (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2,
                 counts)
 
     (t_new, valid, pos01, dir01, comp, n_valid, dts, rds, n_emit_new,
-     shadow_new, n_frozen) = _march_compact_core(
+     shadow_new, n_frozen, spill) = _march_compact_core(
         density_grid, skip_field, rays_o_cf, rays_d_cf, fars, t, alive,
         n_emit, shadow, round_idx, perturb_seed, s, bucket=bucket)
 
@@ -983,7 +1020,7 @@ def _round_merged_live(apply_fn: Callable, params, density_grid, skip_field,
                   & (n_emit_new < jnp.int32(s.max_infer_steps)))
         n_alive = jnp.sum(alive2.astype(jnp.int32))
 
-    counts = jnp.stack([n_valid, n_alive, n_frozen])
+    counts = jnp.stack([n_valid, n_alive, n_frozen, spill])
     return (t_new, n_emit_new, shadow_new, w2, d2, rgb2, alive2, counts)
 
 
@@ -1140,7 +1177,7 @@ class _ShardedRounds:
     def merged(self, bucket, has_skip_field: bool):
         """shard_mapped merged round (march+eval+composite, one program);
         bucket is the PER-SHARD static eval size (None/0/int). Per-device
-        counts [3] concatenate to a global [3*D] for the wave read."""
+        counts [4] concatenate to a global [4*D] for the wave read."""
         key = ("merged", bucket, has_skip_field)
         if key not in self._cache:
             s = self.s
@@ -1158,7 +1195,7 @@ class _ShardedRounds:
                  self._pr, self._pr, self._pr, self._pr, self._pr,
                  self._pr, self._pr, self._pr, self._pc, self._p0,
                  self._p0),
-                # t_new, n_emit, shadow, w, depth, rgb, alive, counts[3]
+                # t_new, n_emit, shadow, w, depth, rgb, alive, counts[4]
                 (self._pr, self._pr, self._pr, self._pr, self._pr,
                  self._pc, self._pr, self._pr))
         return self._cache[key]

@@ -49,12 +49,15 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--record", default=None)
+    p.add_argument("--platform", default="cpu",
+                   help="cpu (default) or tpu — the 800^2 serving-scale "
+                        "record (VERDICT r4 weak #7) needs the chip")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.platform)
     from nerf_tpu.utils.compile_cache import enable as enable_cache
 
     enable_cache(os.path.join(REPO, ".xla_cache"))

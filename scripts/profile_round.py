@@ -125,7 +125,7 @@ def main():
         med = float(np.median(times))
         print(f"[profile] bucket={bucket}: {med * 1e3:.1f} ms "
               f"(n_valid={counts[0]}, n_alive={counts[1]}, "
-              f"frozen={counts[2]})", flush=True)
+              f"frozen={counts[2]}, spill={counts[3]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--record", default=None)
     p.add_argument("--convert", action="store_true",
                    help="also record the tcnn->TpuGrid conversion PSNR")
+    p.add_argument("--hybrid", action="store_true",
+                   help="also record the hybrid exact-serving path vs "
+                        "the pure tcnn render (should be ULP-level)")
     p.add_argument("--log2-rows", type=int, default=None)
     p.add_argument("--density-scale", type=float, default=1.0)
     args = p.parse_args(argv)
@@ -61,7 +64,7 @@ def main(argv=None):
     import bench as _bench  # repo-root module: shared settings so every
     # consumer reuses the same compiled merged-round programs
 
-    def render(use_fused, packed, convert=False):
+    def render(use_fused, packed, convert=False, hybrid=False):
         eng = NerfRender(
             settings=_bench.make_settings(
                 65536, density_scale=args.density_scale),
@@ -71,6 +74,8 @@ def main(argv=None):
         stats = None
         if convert:
             stats = eng.convert_to_tpugrid(log2_rows=args.log2_rows)
+        elif hybrid:
+            stats = eng.convert_to_hybrid(log2_rows=args.log2_rows)
         rgb, depth, wsum = eng.render_frame_arrays(cam, pose)
         return np.asarray(rgb), stats
 
@@ -107,6 +112,18 @@ def main(argv=None):
         record["convert_stats"] = stats
         print(f"[quality] converted TpuGrid vs oracle: "
               f"{record['psnr_converted_vs_oracle']:.2f} dB",
+              file=sys.stderr, flush=True)
+
+    if args.hybrid:
+        hyb, hstats = render(use_fused=True, packed=True, hybrid=True)
+        record["psnr_hybrid_vs_oracle"] = float(psnr(hyb, oracle))
+        record["hybrid_stats"] = dict(
+            log2_rows=hstats["log2_rows"],
+            exact_levels=hstats["exact_levels"])
+        n_ex = sum(hstats["exact_levels"])
+        print(f"[quality] hybrid ({n_ex}/{len(hstats['exact_levels'])} "
+              f"levels row-served) vs oracle: "
+              f"{record['psnr_hybrid_vs_oracle']:.2f} dB",
               file=sys.stderr, flush=True)
 
     if args.record:

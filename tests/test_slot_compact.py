@@ -59,14 +59,14 @@ def test_slot_compact_matches_dense():
     # space at round 0)
     for rnd in range(12):
         (t_d, valid_d, pos01, dir01, comp_d, nv_d, dts_d, rds_d, ne_d,
-         sh_d, nf_d) = _march_compact_core(
+         sh_d, nf_d, sp_d) = _march_compact_core(
             grid, None, o_cf, d_cf, fars, t0, alive, ne, sh,
             jnp.int32(rnd), None, s, bucket=bucket)
         if int(nv_d) > 0:
             break
         t0, ne, sh = t_d, ne_d, sh_d
     (t_s, valid_s, t_slot, probe_slot, comp_s, nv_s, dts_s, rds_s, ne_s,
-     sh_s, nf_s) = _march_compact_slots(grid, None, o_cf, d_cf, fars, t0,
+     sh_s, nf_s, sp_s) = _march_compact_slots(grid, None, o_cf, d_cf, fars, t0,
                                         alive, ne, sh, jnp.int32(rnd),
                                         None, s, bucket=bucket)
 
@@ -77,6 +77,7 @@ def test_slot_compact_matches_dense():
     np.testing.assert_array_equal(np.asarray(sh_d), np.asarray(sh_s))
     assert int(nv_d) == int(nv_s)
     assert int(nf_d) == int(nf_s)
+    assert int(sp_d) == int(sp_s)
     nv = int(nv_d)
     assert nv > 0, "scene must emit samples for the test to mean anything"
 
@@ -113,9 +114,35 @@ def test_slot_compact_respects_bucket_freeze():
     nf_total = 0
     for rnd in range(12):
         (t0, _v, _ts, probe_slot, comp_s, nv_s, _dt, _rd, ne, sh,
-         nf_s) = _march_compact_slots(grid, None, o_cf, d_cf, fars, t0,
+         nf_s, sp_s) = _march_compact_slots(grid, None, o_cf, d_cf, fars, t0,
                                       alive, ne, sh, jnp.int32(rnd), None,
                                       s, bucket=bucket)
         assert int(nv_s) <= bucket
         nf_total += int(nf_s)
     assert nf_total > 0, "tiny bucket must freeze rays"
+
+
+def test_spill_counts_exact_deferred_demand():
+    """counts[3] (spill) is EXACTLY the number of samples the bucket
+    deferred: with no bucket the round emits nv_free samples (cap_emit
+    still applies); with bucket B < nv_free it emits B and must report
+    spill == nv_free - B, so the host's k+spill demand signal is exact
+    (the old frozen-ray count was only a floor)."""
+    cap, P = 4, 8
+    (grid, o_cf, d_cf, fars, t0, alive, ne, sh, s) = _inputs(cap, P, 64)
+    # advance to the first emitting round
+    for rnd in range(12):
+        out_free = _march_compact_core(grid, None, o_cf, d_cf, fars, t0,
+                                       alive, ne, sh, jnp.int32(rnd),
+                                       None, s, bucket=None)
+        if int(out_free[5]) > 0:
+            break
+        t0, ne, sh = out_free[0], out_free[8], out_free[9]
+    nv_free = int(out_free[5])
+    assert int(out_free[11]) == 0  # no bucket -> no spill
+    assert nv_free > 4, "need excess demand for the test to bite"
+    out_b = _march_compact_core(grid, None, o_cf, d_cf, fars, t0, alive,
+                                ne, sh, jnp.int32(rnd), None, s, bucket=4)
+    nv_b, spill_b = int(out_b[5]), int(out_b[11])
+    assert nv_b == 4
+    assert spill_b == nv_free - nv_b
