@@ -285,15 +285,13 @@ def main():
         # chunks instead
         ("tpugrid", TPU_NETWORK_CONFIG, 256, 16384),
     ]
-    # tcnn-exact serving rows: the hybrid path (exact levels from
-    # converted brick rows, VERDICT r4 item 5) vs the pure 8-corner
-    # path. Converged snapshots ONLY: the 600-step fog snapshot has
-    # 3-4M occupied bricks per fine level, making the host-side
-    # conversion scan ~40 min — unusable inside a bench budget (and its
-    # collided levels mostly fall back to corners anyway).
-    if os.path.exists(sharp_hash_hq):
-        attempts.append(("sharp-hashgrid-hybrid", sharp_hash_hq, 800,
-                         65536))
+    # tcnn-exact serving rows: the hybrid path (dense-reindexed levels
+    # from brick rows, VERDICT r4 item 5) vs the pure 8-corner path.
+    # Occupancy-independent (static dense cutoff), so any snapshot works.
+    hyb_src = sharp_hash_hq if os.path.exists(sharp_hash_hq) \
+        else (sharp_hash if os.path.exists(sharp_hash) else None)
+    if hyb_src:
+        attempts.append(("sharp-hashgrid-hybrid", hyb_src, 800, 65536))
     attempts.append(("hashgrid", DEFAULT_NETWORK_CONFIG, 800, 65536))
 
     snaps, engines, fused_checked = {}, {}, set()

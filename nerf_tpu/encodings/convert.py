@@ -149,8 +149,8 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
                     grid_h: int = 128, cascade: int = 1,
                     bound: float = 1.0,
                     density_thresh: float = 0.01,
-                    max_bricks_per_level: int = 4_000_000
-                    ) -> Tuple[np.ndarray, Dict]:
+                    max_bricks_per_level: int = 4_000_000,
+                    levels=None) -> Tuple[np.ndarray, Dict]:
     """Resample tcnn-layout grid params into TpuGrid rows.
 
     Returns (tpu_params flat f32 [tpu_enc.n_params], stats) where stats
@@ -171,16 +171,23 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
     ncells = tpu_enc.ncells
     bw = tpu_enc.brick_w
     nbs = tpu_enc.nb_side
-    acc = np.zeros((tpu_enc.total_rows, ncells, F), np.float64)
+    # f32 accumulators: values are bf16-bound downstream and per-row
+    # brick counts are small; f64 doubled the peak RSS for nothing at
+    # hybrid-serving table sizes (>10M rows)
+    acc = np.zeros((tpu_enc.total_rows, ncells, F), np.float32)
     wsum = np.zeros((tpu_enc.total_rows,), np.float64)
     cnt = np.zeros((tpu_enc.total_rows,), np.int64)
     stats = {"levels": []}
+    level_set = set(range(tpu_enc.n_levels)) if levels is None \
+        else set(int(x) for x in levels)
 
     nbh = np.stack(np.meshgrid(np.arange(nbs), np.arange(nbs),
                                np.arange(nbs), indexing="ij"),
                    axis=-1).reshape(ncells, 3)
 
     for lvl in range(tpu_enc.n_levels):
+        if lvl not in level_set:
+            continue  # unserved level (hybrid): rows stay zero
         nb = int(tpu_enc._nbricks[lvl])
         dense = bool(tpu_enc._dense[lvl])
         rows_lvl = int(tpu_enc._rows[lvl])
@@ -218,23 +225,32 @@ def tcnn_to_tpugrid(tcnn_enc: GridEncoding, tcnn_params: np.ndarray,
         cells = (bricks[:, None, :] * bw + nbh[None, :, :]).reshape(-1, 3)
         tr = _tcnn_rows_for_cells(tcnn_enc, lvl, cells)
         vals = table[tr].reshape(len(bricks), ncells, F)
-        # Occupancy-weighted fit: a row shared by colliding bricks takes
-        # the weighted mean of their neighborhoods (= the least-squares
-        # row under per-brick sample-mass weights w_b), so a heavily-
-        # sampled brick is not diluted by barely-occupied aliases.
-        w = wts.astype(np.float64)
-        np.add.at(acc, rows, vals * w[:, None, None])
-        np.add.at(wsum, rows, w)
-        np.add.at(cnt, rows, 1)
+        if dense:
+            # every brick owns its row: direct assignment (np.add.at is
+            # unbuffered and ~20x slower at hybrid-serving table sizes)
+            acc[rows] = vals
+            wsum[rows] = 1.0
+            cnt[rows] = 1
+        else:
+            # Occupancy-weighted fit: a row shared by colliding bricks
+            # takes the weighted mean of their neighborhoods (= the
+            # least-squares row under per-brick sample-mass weights
+            # w_b), so a heavily-sampled brick is not diluted by
+            # barely-occupied aliases.
+            w = wts.astype(np.float32)
+            np.add.at(acc, rows, vals * w[:, None, None])
+            np.add.at(wsum, rows, w.astype(np.float64))
+            np.add.at(cnt, rows, 1)
         row_cnt = cnt[off_lvl:off_lvl + rows_lvl]
         stats["levels"].append(dict(
             level=lvl, bricks=int(len(bricks)), rows=rows_lvl,
             collided_rows=int(np.sum(row_cnt > 1)),
             max_bricks_per_row=int(row_cnt.max() if rows_lvl else 0)))
 
-    out = np.where(wsum[:, None, None] > 0,
-                   acc / np.maximum(wsum[:, None, None], 1e-12), 0.0)
-    return out.reshape(-1).astype(np.float32), stats
+    inv = np.where(wsum > 0, 1.0 / np.maximum(wsum, 1e-12),
+                   0.0).astype(np.float32)
+    acc *= inv[:, None, None]  # in place: tables reach GBs in hybrid mode
+    return acc.reshape(-1), stats
 
 
 def occupied_brick_counts(tcnn_enc: GridEncoding, density_grid: np.ndarray,

@@ -98,6 +98,13 @@ class TpuGridEncoding(Encoding):
             log2_t = int(config.get("log2_hashmap_size", 19))
             self.log2_rows = max(4, log2_t - (5 if self.brick_w == 2
                                               else 7))
+        # Separate row budget for HASHED (non-dense) levels. The hybrid
+        # exact-serving path (encodings/hybrid.py) raises log2_rows far
+        # above the hash budget so more levels index densely
+        # (collision-free by construction) while the hashed levels it
+        # never gathers shrink to a token allocation.
+        self.log2_rows_hashed = int(config.get("log2_rows_hashed",
+                                               self.log2_rows))
         # packed bf16-pair gathers (inference); f32 rows when False (training)
         self.packed_gather = bool(config.get("packed_gather", True))
         # inference row storage: "bf16" (F in {2,4}; 27F/2 u32, padded to
@@ -131,7 +138,7 @@ class TpuGridEncoding(Encoding):
             if nb ** 3 <= max_rows:
                 r, is_dense = nb ** 3, True
             else:
-                r, is_dense = max_rows, False
+                r, is_dense = 1 << self.log2_rows_hashed, False
             scales.append(scale)
             rows.append(r)
             offsets.append(off)

@@ -212,24 +212,25 @@ class NerfRender:
         self._render_fn = None
         return stats
 
-    def convert_to_hybrid(self, log2_rows: Optional[int] = None) -> Dict:
+    def convert_to_hybrid(self, log2_rows: Optional[int] = None,
+                          max_table_bytes: int = 7 << 29) -> Dict:
         """Exact-and-fast serving of a loaded tcnn-HashGrid snapshot
-        (encodings/hybrid.py): levels the TpuGrid conversion provably
-        serves exactly (dense, or hashed with zero occupied-brick
-        collisions at the auto-sized row budget) use ONE row gather per
-        (sample, level); the rest keep the tcnn 8-corner path. Unlike
-        convert_to_tpugrid this NEVER changes the rendered output beyond
-        trilerp reassociation ULPs — it is the tcnn-exact fallback made
-        >=1.5-8x cheaper (occupancy-dependent), VERDICT r4 item 5.
+        (encodings/hybrid.py): every level whose brick grid fits the
+        serving-table budget is re-indexed DENSELY (collision-free by
+        construction — exact for any occupancy) and served at ONE row
+        gather per (sample, level); the finer levels keep the tcnn
+        8-corner path. Hashed brick rows are NOT used at all: at real
+        snapshot occupancies (36M occupied bricks at the default
+        schedule's finest level, measured on the converged hq scene)
+        every hashed level birthday-collides, so exactness is only ever
+        available densely — which also makes the sizing STATIC (no
+        occupancy scan; the fog-snapshot scan measured ~40 min) and the
+        conversion a direct table resample. Output equals the pure tcnn
+        render to trilerp reassociation ULPs; descriptors per sample
+        drop from 8L to L_dense + 8*(L - L_dense) (default budget: 11
+        of 16 levels dense -> 51 vs 128, ~2.5x). VERDICT r4 item 5.
         Returns the conversion stats + the per-level serving choice."""
-        import copy
-
-        from nerf_tpu.core.types import DENSITY_THRESH
-        from nerf_tpu.encodings.convert import (
-            occupied_brick_counts,
-            recommend_log2_rows,
-            tcnn_to_tpugrid,
-        )
+        from nerf_tpu.encodings.convert import tcnn_to_tpugrid
         from nerf_tpu.encodings.hashgrid import GridEncoding
         from nerf_tpu.encodings.hybrid import build_hybrid_from_conversion
         from nerf_tpu.encodings.tpugrid import TpuGridEncoding
@@ -238,25 +239,32 @@ class NerfRender:
         if not isinstance(enc, GridEncoding):
             raise ValueError("loaded network does not use a tcnn-layout "
                              "grid encoding")
-        thresh = min(DENSITY_THRESH, self.settings.mean_density)
         if log2_rows is None:
-            counts = occupied_brick_counts(
-                enc, np.asarray(self.density_grid), self.settings.grid_h,
-                self.settings.cascade, self.settings.bound, thresh)
-            log2_rows = recommend_log2_rows(counts, 27,
-                                            enc.n_features_per_level)
+            # largest dense cutoff whose cumulative packed rows fit the
+            # budget (row = 64 u32 = 256 B for F=2; 128 u32 for F=4)
+            row_pad_b = 4 * (64 if enc.n_features_per_level <= 2 else 128)
+            nbs = [(int(r) - 1) // 2 + 1 for r in enc._resolutions]
+            best, total = 4, 0
+            for L in range(4, 25):
+                tot = sum(min(nb ** 3, 1 << L) for nb in nbs
+                          if nb ** 3 <= (1 << L))
+                if tot * row_pad_b <= max_table_bytes:
+                    best, total = L, tot
+            log2_rows = best
         tpu_enc = TpuGridEncoding(3, dict(
             n_levels=enc.n_levels,
             n_features_per_level=enc.n_features_per_level,
             base_resolution=enc.base_resolution,
             per_level_scale=enc.per_level_scale,
-            log2_rows=int(log2_rows)), alignment=enc.alignment)
+            log2_rows=int(log2_rows),
+            log2_rows_hashed=4), alignment=enc.alignment)
+        dense_levels = [i for i in range(tpu_enc.n_levels)
+                        if bool(tpu_enc._dense[i])]
         old_flat = np.asarray(self.params["pos_encoding"])
         rows, stats = tcnn_to_tpugrid(
-            enc, old_flat, tpu_enc,
-            density_grid=np.asarray(self.density_grid),
+            enc, old_flat, tpu_enc, density_grid=None,
             grid_h=self.settings.grid_h, cascade=self.settings.cascade,
-            bound=self.settings.bound, density_thresh=thresh)
+            bound=self.settings.bound, levels=dense_levels)
         hyb, flat = build_hybrid_from_conversion(enc, old_flat, tpu_enc,
                                                  rows, stats)
         self.network.pos_encoding = hyb

@@ -270,11 +270,19 @@ def main(argv=None):
         ro, rd = generate_rays(ecam, rot, orig_t, rr, rr)
         gt = trace_scene(np.asarray(ro), np.asarray(rd))
         nears, fars = near_far_from_aabb(ro, rd, aabb, settings.min_near)
-        rgb, _, _ = render_train(net, params, ro, rd, nears, fars,
-                                 eval_settings,
-                                 n_samples=args.n_samples,
-                                 density_grid=grid)
-        rgb = np.asarray(rgb)
+        # chunked: rr^2 rays x n_samples all-lanes would peak several GB
+        # of per-level gather intermediates (measured ResourceExhausted
+        # at 256^2 x 128 with F=4 rows)
+        ck = 16384
+        parts = []
+        for s0 in range(0, ro.shape[0], ck):
+            r, _, _ = render_train(net, params, ro[s0:s0 + ck],
+                                   rd[s0:s0 + ck], nears[s0:s0 + ck],
+                                   fars[s0:s0 + ck], eval_settings,
+                                   n_samples=args.n_samples,
+                                   density_grid=grid)
+            parts.append(np.asarray(r))
+        rgb = np.concatenate(parts, axis=0)
         if ess > 1:
             rgb = rgb.reshape(er, ess, er, ess, 3).mean(axis=(1, 3))
             gt = gt.reshape(er, ess, er, ess, 3).mean(axis=(1, 3))
