@@ -25,3 +25,19 @@ from nerf_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
 
 _enable_cache(os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".xla_cache"))
+
+
+# One process compiling all ~140 tests' programs accumulates enough
+# executable/buffer state to crash XLA:CPU near the end of the suite
+# (reproduced twice: SIGSEGV jitting the flagship forward at test ~70,
+# SIGABRT in a cache read at test ~135; each crash site passes alone
+# and in small combinations). Dropping the jit caches between modules
+# bounds live state; the persistent on-disk cache makes the re-loads
+# cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

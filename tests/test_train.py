@@ -1,6 +1,10 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from nerf_tpu.core.types import RenderSettings
 from nerf_tpu.models.nerf import build_nerf_network
@@ -98,12 +102,30 @@ def test_training_reduces_loss():
 
 
 def test_graft_entry_single_chip():
-    import __graft_entry__ as ge
+    # Runs in a FRESH interpreter (like the driver's own compile check):
+    # jitting the full 16-level flagship forward inside a process that
+    # already compiled ~70 tests' programs segfaults XLA:CPU
+    # reproducibly (allocator state, not model code — the same jit
+    # passes in isolation and in small combinations).
+    import subprocess
+    import sys
 
-    fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert out.shape == (1024, 4)
-    assert np.all(np.isfinite(np.asarray(out)))
+    code = (
+        "import sys; sys.path.insert(0, {repo!r});\n"
+        "import jax, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__ as ge\n"
+        "fn, args = ge.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "assert out.shape == (1024, 4)\n"
+        "assert np.all(np.isfinite(np.asarray(out)))\n"
+    ).format(repo=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               _NERF_TPU_MULTICHIP_CHILD="")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO)
+    assert r.returncode == 0
 
 
 def test_graft_dryrun_multichip():
